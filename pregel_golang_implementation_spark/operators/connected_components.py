@@ -1,0 +1,67 @@
+"""Connected components by hash-min label spreading.
+
+This is the reference's own superstep skeleton with min-combine and no
+weights (the SSSP relaxation at Vertex.go:68-88 with w≡0 and init=id):
+every vertex starts labelled with its own id, scatters its label, adopts
+the minimum it hears, and votes to halt when unchanged.  Converges in
+O(graph diameter) supersteps; frontier execution means late supersteps
+touch only the shrinking changed set (SURVEY.md §4 P5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pregel_golang_implementation_spark.plans.runner import PregelResult, PregelRunner
+from pregel_golang_implementation_spark.plans.spec import AlgorithmSpec, combine_min
+
+
+def cc_spec(max_supersteps: int = 100) -> AlgorithmSpec:
+    def init_fn(vertices: DataFrame) -> DataFrame:
+        return vertices.select("id", F.col("id").cast("double").alias("value"))
+
+    def msg_fn(value, weight, g):
+        return value
+
+    def apply_fn(old, msg, g):
+        return F.least(old, F.coalesce(msg, old))
+
+    def active_fn(old, new, msg):
+        return new < old
+
+    return AlgorithmSpec(
+        name="connected_components",
+        init_fn=init_fn,
+        msg_fn=msg_fn,
+        combine=combine_min,
+        apply_fn=apply_fn,
+        active_fn=active_fn,
+        use_frontier=True,
+        max_supersteps=max_supersteps,
+    )
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Undirected view: emit both directions, dedup.  Mirrors the reference
+    fixtures' symmetric adjacency (Test/generate.py:26-30) without assuming
+    the input already is (the reference engine silently requires it —
+    receiver-side weight lookup, Vertex.go:74)."""
+    e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    return (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def connected_components(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_supersteps: int = 100,
+    **runner_kwargs,
+) -> PregelResult:
+    """Result state: (id, value=component id = min vertex id in component)."""
+    und = symmetrize(edges)
+    runner = PregelRunner(spark, cc_spec(max_supersteps), **runner_kwargs)
+    return runner.run(und)

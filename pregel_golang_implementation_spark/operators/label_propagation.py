@@ -1,0 +1,56 @@
+"""Synchronous label propagation clustering (LPA).
+
+Same superstep skeleton (SURVEY.md §2.3) with a mode-combiner: each vertex
+adopts the most frequent label among ALL its neighbors, deterministic ties
+→ smallest label; halt when no label changed or at the iteration cap
+(synchronous LPA can oscillate on bipartite structures — capped and
+documented; the reference has no LPA to contradict, SURVEY.md §7 (b)).
+
+``use_frontier=False`` is load-bearing: the mode must be taken over every
+neighbor's current label, so all vertices scatter every superstep —
+frontier messaging would compute the mode over changed neighbors only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pregel_golang_implementation_spark.plans.runner import PregelResult, PregelRunner
+from pregel_golang_implementation_spark.plans.spec import AlgorithmSpec, combine_mode
+from pregel_golang_implementation_spark.operators.connected_components import symmetrize
+
+
+def lpa_spec(max_supersteps: int = 20) -> AlgorithmSpec:
+    def init_fn(vertices: DataFrame) -> DataFrame:
+        return vertices.select("id", F.col("id").cast("double").alias("value"))
+
+    def msg_fn(value, weight, g):
+        return value
+
+    def apply_fn(old, msg, g):
+        # isolated vertices (no neighbors → no msg) keep their own label
+        return F.coalesce(msg, old)
+
+    return AlgorithmSpec(
+        name="label_propagation",
+        init_fn=init_fn,
+        msg_fn=msg_fn,
+        combine=combine_mode,
+        apply_fn=apply_fn,
+        use_frontier=False,
+        max_supersteps=max_supersteps,
+    )
+
+
+def label_propagation(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_supersteps: int = 20,
+    directed: bool = False,
+    **runner_kwargs,
+) -> PregelResult:
+    """Result state: (id, value=cluster label)."""
+    e = edges if directed else symmetrize(edges)
+    runner = PregelRunner(spark, lpa_spec(max_supersteps), **runner_kwargs)
+    return runner.run(e)

@@ -1,0 +1,111 @@
+"""PageRank as a Pregel spec: sum-combine + damping apply + 1e-6 halt.
+
+The reference wires only SSSP into its vertex program (Vertex.go:68-88);
+PageRank reuses the identical superstep skeleton (O4-O13 in SURVEY.md §2.1)
+with (init=1/N, msg=rank/outdeg, combine=sum, apply=(1-d)/N + d·sum,
+halt=max|Δ|<tol).  Dangling-node mass (no analogue in the reference) follows
+the standard published treatment: redistribute uniformly each superstep via
+a scalar global aggregate — never a driver-side collect of state.
+
+Scale notes:
+  - 1/outdeg is baked into the edge weight once, so the per-superstep
+    message expression is a single multiply inside whole-stage codegen.
+  - the dangling mass is one scalar per superstep, piggybacked on the
+    runner's metrics aggregation (zero extra jobs).
+  - full scatter every superstep (power iteration) — frontier execution
+    would change the fixed point, so ``use_frontier=False``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pregel_golang_implementation_spark.plans.runner import PregelResult, PregelRunner
+from pregel_golang_implementation_spark.plans.spec import AlgorithmSpec, combine_sum
+
+
+def pagerank_spec(num_vertices: int, damping: float = 0.85, tol: float = 1e-6) -> AlgorithmSpec:
+    n = float(num_vertices)
+    d = float(damping)
+
+    def init_fn(vertices: DataFrame) -> DataFrame:
+        # uniform start 1/N; dangling flag is static per vertex
+        return vertices.select(
+            "id", F.lit(1.0 / n).alias("value"), F.col("is_dangling")
+        )
+
+    def msg_fn(value, weight, g):
+        # weight was pre-baked to 1/outdeg(src): msg = rank/outdeg
+        return value * weight
+
+    def apply_fn(old, msg, g):
+        dangling = float(g.get("dangling_mass", 0.0) or 0.0)
+        return F.lit((1.0 - d) / n) + F.lit(d) * (
+            F.coalesce(msg, F.lit(0.0)) + F.lit(dangling / n)
+        )
+
+    def active_fn(old, new, msg):
+        return F.abs(new - old) > F.lit(tol)
+
+    return AlgorithmSpec(
+        name="pagerank",
+        init_fn=init_fn,
+        msg_fn=msg_fn,
+        combine=combine_sum,
+        apply_fn=apply_fn,
+        active_fn=active_fn,
+        static_cols=("is_dangling",),
+        use_frontier=False,
+        global_aggs={
+            "dangling_mass": F.sum(
+                F.when(F.col("is_dangling"), F.col("value")).otherwise(F.lit(0.0))
+            )
+        },
+        max_supersteps=100,
+        params={"damping": damping, "tol": tol, "num_vertices": num_vertices},
+    )
+
+
+def prepare_pagerank_graph(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Normalize a directed edge list for PageRank.
+
+    Returns (pr_edges, vertices):
+      pr_edges(src, dst, weight=1/outdeg(src)) — duplicate edges collapsed
+      vertices(id, is_dangling)
+    """
+    e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long")).dropDuplicates(
+        ["src", "dst"]
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    pr_edges = e.join(outdeg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("weight")
+    )
+    vertices = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .join(outdeg.withColumnRenamed("src", "id"), "id", "left")
+        .select("id", F.col("outdeg").isNull().alias("is_dangling"))
+    )
+    return pr_edges, vertices
+
+
+def pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_supersteps: int = 100,
+    **runner_kwargs,
+) -> PregelResult:
+    """Run PageRank to the 1e-6 fixed point (BASELINE.json criterion).
+
+    Result state: (id, value=rank, ...); ranks sum to 1 (±fp error).
+    """
+    pr_edges, vertices = prepare_pagerank_graph(edges)
+    n = vertices.count()
+    spec = pagerank_spec(n, damping=damping, tol=tol)
+    spec.max_supersteps = max_supersteps
+    runner = PregelRunner(spark, spec, **runner_kwargs)
+    return runner.run(pr_edges, vertices=vertices)

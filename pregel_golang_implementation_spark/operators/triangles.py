@@ -1,0 +1,88 @@
+"""Triangle counting — the one north_rule algorithm that is NOT
+message-passing: a pure relational plan (edges ⋈ edges ⋈ edges counting
+closed wedges — SURVEY.md §2.3).  No analogue in the reference engine.
+
+Scale design: edges are first canonicalized src<dst so every triangle is
+counted exactly once as (a<b<c).  Optionally orient by (degree, id) —
+the standard skew fix: wedge enumeration then fans out from LOW-degree
+endpoints, so a celebrity hub never enumerates deg² wedge pairs.  Both
+joins are plain equi-joins Catalyst can reorder/broadcast; AQE splits any
+residual skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def canonical_edges(edges: DataFrame, degree_order: bool = False) -> DataFrame:
+    """Undirected edge set, one row per unordered pair, no self-loops.
+
+    degree_order=True re-orients each edge from the lower-(degree, id)
+    endpoint to the higher one (total order, so still one row per pair) —
+    use for skewed graphs at scale.
+    """
+    e = (
+        edges.select(
+            F.least(F.col("src"), F.col("dst")).cast("long").alias("src"),
+            F.greatest(F.col("src"), F.col("dst")).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    if not degree_order:
+        return e
+    deg = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ds = deg.select(F.col("id").alias("src"), F.col("deg").alias("_ds"))
+    dd = deg.select(F.col("id").alias("dst"), F.col("deg").alias("_dd"))
+    ordered = (
+        e.join(ds, "src").join(dd, "dst")
+        .select(
+            F.when(
+                (F.col("_ds") < F.col("_dd"))
+                | ((F.col("_ds") == F.col("_dd")) & (F.col("src") < F.col("dst"))),
+                F.struct(F.col("src").alias("u"), F.col("dst").alias("v")),
+            )
+            .otherwise(F.struct(F.col("dst").alias("u"), F.col("src").alias("v")))
+            .alias("uv")
+        )
+        .select(F.col("uv.u").alias("src"), F.col("uv.v").alias("dst"))
+    )
+    return ordered
+
+
+def _triangle_rows(edges: DataFrame, degree_order: bool) -> DataFrame:
+    """(a, b, c) — one row per triangle under the chosen orientation."""
+    e = canonical_edges(edges, degree_order=degree_order)
+    e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    wedges = e1.join(e2, "b").select("a", "b", "c")
+    e3 = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    return wedges.join(e3, ["a", "c"]).select("a", "b", "c")
+
+
+def triangle_count(
+    spark: SparkSession, edges: DataFrame, degree_order: bool = False
+) -> int:
+    """Global triangle count (exact — oracle: brute force over src<dst set)."""
+    return _triangle_rows(edges, degree_order).count()
+
+
+def triangles_per_vertex(
+    spark: SparkSession, edges: DataFrame, degree_order: bool = False
+) -> DataFrame:
+    """(id, triangles) — every triangle credits all three corners.
+    Vertices in no triangle are absent (count 0 implied)."""
+    tri = _triangle_rows(edges, degree_order)
+    corners = (
+        tri.select(F.col("a").alias("id"))
+        .union(tri.select(F.col("b").alias("id")))
+        .union(tri.select(F.col("c").alias("id")))
+    )
+    return corners.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))

@@ -1,0 +1,340 @@
+"""The superstep runner: BSP loop as iterative DataFrame passes.
+
+Replaces the reference's entire control plane — master barrier state
+machine (/root/reference/Master.go:1014-1068), exchange phases
+(Master.go:834-845), per-vertex goroutines (Worker.go:695-713), TCP
+message routing (Worker.go:799-849) and the full-graph value gather
+(Master.go:958-967) — with:
+
+  superstep  = one Spark job        (DAG scheduler is the barrier)
+  exchange   = one shuffle          (groupBy(dst) on the messages)
+  routing    = hash partitioning    (replaces id % numWorkers, InputParsing.go:63)
+  gather     = scalar metrics agg   (never collects vertex state to the driver)
+  recovery   = parquet checkpoint + manifest (replaces verticesValue snapshot,
+               Master.go:28, and RESTART_STATE restore, Worker.go:641-654)
+
+Scale design (SURVEY.md §4):
+  - edges are hash-partitioned by src ONCE and cached; state is produced
+    partitioned by id from the combine groupBy, so the state⋈messages join
+    needs no extra shuffle (P1 co-partitioning).
+  - frontier/delta execution: only changed vertices scatter (P5).
+  - small frontiers are broadcast to skip the scatter-join shuffle (P11).
+  - lineage is broken every few supersteps via localCheckpoint, or the
+    iterative plan grows without bound (P10).
+  - AQE handles skew-join splitting; hub salting lives in sources/graphs.py.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pregel_golang_implementation_spark.plans.spec import AlgorithmSpec
+
+STATE_SCHEMA_DOC = "state(id: long, value: double, active: boolean, *static)"
+
+
+@dataclass
+class SuperstepMetrics:
+    """Per-superstep counters (north_rule: messages sent, active vertices,
+    convergence delta; the reference only ever recorded total wall time —
+    Master.go:1052-1053)."""
+
+    superstep: int
+    active_vertices: int
+    messages_sent: int
+    max_delta: float
+    num_vertices: int
+    wall_secs: float
+    globals: dict = field(default_factory=dict)
+
+    def to_dict(self) -> dict:
+        return {
+            "superstep": self.superstep,
+            "active_vertices": self.active_vertices,
+            "messages_sent": self.messages_sent,
+            "max_delta": self.max_delta,
+            "num_vertices": self.num_vertices,
+            "wall_secs": self.wall_secs,
+            "globals": self.globals,
+        }
+
+
+@dataclass
+class PregelResult:
+    state: DataFrame  # (id, value, active, *static)
+    supersteps: int
+    converged: bool
+    metrics: list[SuperstepMetrics]
+
+    @property
+    def total_messages(self) -> int:
+        return sum(m.messages_sent for m in self.metrics)
+
+
+class PregelRunner:
+    def __init__(
+        self,
+        spark: SparkSession,
+        spec: AlgorithmSpec,
+        num_partitions: int | None = None,
+        lineage_break_every: int = 4,
+        checkpoint_dir: str | None = None,
+        checkpoint_every: int = 0,
+        broadcast_frontier_threshold: int = 100_000,
+    ):
+        self.spark = spark
+        self.spec = spec
+        self.num_partitions = num_partitions or int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        )
+        self.lineage_break_every = lineage_break_every
+        self.checkpoint_dir = checkpoint_dir
+        self.checkpoint_every = checkpoint_every
+        self.broadcast_frontier_threshold = broadcast_frontier_threshold
+
+    # ----------------------------------------------------------------- setup
+
+    def _prepare_edges(self, edges: DataFrame) -> DataFrame:
+        cols = [F.col("src").cast("long"), F.col("dst").cast("long")]
+        if "weight" in edges.columns:
+            cols.append(F.col("weight").cast("double"))
+        else:
+            cols.append(F.lit(1.0).alias("weight"))
+        e = edges.select(*cols).repartition(self.num_partitions, "src")
+        e = e.persist()
+        e.count()  # materialize once; every superstep reuses this layout
+        return e
+
+    @staticmethod
+    def vertices_from_edges(edges: DataFrame) -> DataFrame:
+        return (
+            edges.select(F.col("src").alias("id"))
+            .union(edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+
+    def _init_state(self, vertices: DataFrame) -> DataFrame:
+        state = self.spec.init_fn(vertices)
+        if "active" not in state.columns:
+            state = state.withColumn("active", F.lit(True))
+        cols = ["id", "value", "active", *self.spec.static_cols]
+        state = state.select(
+            F.col("id").cast("long"),
+            F.col("value").cast("double"),
+            F.col("active").cast("boolean"),
+            *[F.col(c) for c in self.spec.static_cols],
+        ).select(*cols)
+        return state.repartition(self.num_partitions, "id").localCheckpoint(eager=True)
+
+    def _collect_globals(self, state: DataFrame) -> dict:
+        if not self.spec.global_aggs:
+            return {}
+        row = state.agg(
+            *[c.alias(k) for k, c in self.spec.global_aggs.items()]
+        ).first()
+        return row.asDict()
+
+    # ------------------------------------------------------------- superstep
+
+    def _one_superstep(
+        self, state: DataFrame, edges: DataFrame, g: dict, prev_active: int
+    ) -> DataFrame:
+        spec = self.spec
+        frontier = state.filter("active") if spec.use_frontier else state
+        if (
+            spec.use_frontier
+            and 0 < prev_active <= self.broadcast_frontier_threshold
+        ):
+            # small frontier: ship it to every edge partition instead of
+            # shuffling the (much larger) edge table (SURVEY.md §4 P11)
+            frontier = F.broadcast(frontier)
+
+        # scatter: the join IS the message send (replaces Vertex.go:54-66 +
+        # the worker TCP mesh Worker.go:799-849). Aliased — state lineage can
+        # derive from edges (vertices_from_edges), a classic ambiguous
+        # self-join otherwise.
+        msgs = (
+            frontier.alias("f")
+            .join(edges.alias("e"), F.col("f.id") == F.col("e.src"), "inner")
+            .select(
+                F.col("e.dst").alias("id"),
+                spec.msg_fn(F.col("f.value"), F.col("e.weight"), g).alias("msg"),
+            )
+        )
+        # combine: sender-side partial agg + final agg — the exchange shuffle
+        combined = spec.combine(msgs)
+
+        # apply: fold inbox into state (replaces Vertex.go:68-88)
+        joined = state.join(combined, "id", "left")
+        new_value = spec.apply_fn(F.col("value"), F.col("msg"), g)
+        out = joined.select(
+            F.col("id"),
+            *[F.col(c) for c in spec.static_cols],
+            F.col("value").alias("_prev"),
+            new_value.cast("double").alias("value"),
+            F.coalesce(F.col("msg_count"), F.lit(0)).cast("long").alias("_nmsg"),
+            F.col("msg").alias("_msg"),
+        )
+        out = out.withColumn(
+            "active", spec.active_fn(F.col("_prev"), F.col("value"), F.col("_msg"))
+        )
+        # inf-inf would be NaN; equal values (incl. ±inf) are delta 0
+        out = out.withColumn(
+            "_delta",
+            F.when(F.col("value").eqNullSafe(F.col("_prev")), F.lit(0.0)).otherwise(
+                F.abs(F.col("value") - F.col("_prev"))
+            ),
+        )
+        return out.drop("_msg")
+
+    # ------------------------------------------------------------------ run
+
+    def run(
+        self,
+        edges: DataFrame,
+        vertices: DataFrame | None = None,
+        state: DataFrame | None = None,
+        start_superstep: int = 0,
+        max_supersteps: int | None = None,
+    ) -> PregelResult:
+        """Run the BSP loop to convergence (no active vertices — the
+        reference's all-workers-SEND_EMPTY condition, Master.go:1044-1063)
+        or to ``max_supersteps``."""
+        spec = self.spec
+        max_steps = max_supersteps or spec.max_supersteps
+        edges = self._prepare_edges(edges)
+        if state is None:
+            if vertices is None:
+                vertices = self.vertices_from_edges(edges)
+            state = self._init_state(vertices)
+        state = state.persist()
+        g = self._collect_globals(state)
+        prev_active = -1  # unknown → don't broadcast on step 1
+
+        metrics: list[SuperstepMetrics] = []
+        step = start_superstep
+        converged = False
+        while step - start_superstep < max_steps:
+            step += 1
+            t0 = time.monotonic()
+            new_state = self._one_superstep(state, edges, g, prev_active).persist()
+
+            agg_cols = [
+                F.sum(F.col("active").cast("long")).alias("_active"),
+                F.sum("_nmsg").alias("_msgs"),
+                F.max("_delta").alias("_maxdelta"),
+                F.count(F.lit(1)).alias("_n"),
+            ] + [c.alias(k) for k, c in spec.global_aggs.items()]
+            row = new_state.agg(*agg_cols).first()
+            g = {k: row[k] for k in spec.global_aggs}
+
+            state.unpersist()
+            state = new_state.select("id", *spec.static_cols, "value", "active")
+            if self.lineage_break_every and (step % self.lineage_break_every == 0):
+                # break the iterative plan's lineage or it grows without
+                # bound (SURVEY.md §4 P10 — hazard the Go design never had)
+                state = state.localCheckpoint(eager=True)
+                new_state.unpersist()
+
+            m = SuperstepMetrics(
+                superstep=step,
+                active_vertices=int(row["_active"] or 0),
+                messages_sent=int(row["_msgs"] or 0),
+                max_delta=float(row["_maxdelta"] or 0.0),
+                num_vertices=int(row["_n"]),
+                wall_secs=time.monotonic() - t0,
+                globals=dict(g),
+            )
+            metrics.append(m)
+            prev_active = m.active_vertices
+
+            if self.checkpoint_dir and self.checkpoint_every and (
+                step % self.checkpoint_every == 0
+            ):
+                self._write_checkpoint(state, step, metrics)
+
+            if m.active_vertices == 0:
+                converged = True
+                break
+
+        if self.checkpoint_dir and not (
+            self.checkpoint_every and step % self.checkpoint_every == 0
+        ):
+            self._write_checkpoint(state, step, metrics)
+        return PregelResult(
+            state=state, supersteps=step - start_superstep, converged=converged,
+            metrics=metrics,
+        )
+
+    # ----------------------------------------------------------- checkpoint
+
+    def _write_checkpoint(
+        self, state: DataFrame, step: int, metrics: list[SuperstepMetrics]
+    ) -> None:
+        """Durable snapshot + manifest (replaces the master's verticesValue
+        map, Master.go:28, and MASTER_SYNC replication, Master.go:810-821).
+        The manifest is written AFTER the parquet commit and acts as the
+        atomic marker (replaces the Start/Exit write-ahead marker log,
+        Master.go:969-1012)."""
+        path = os.path.join(self.checkpoint_dir, f"step={step:06d}")
+        state.write.mode("overwrite").parquet(os.path.join(path, "state"))
+        lineage = [
+            {"partition": int(r["pid"]), "rows": int(r["rows"])}
+            for r in state.groupBy(F.spark_partition_id().alias("pid"))
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .collect()
+        ]
+        manifest = {
+            "algorithm": self.spec.name,
+            "params": self.spec.params,
+            "superstep": step,
+            "num_partitions": self.num_partitions,
+            "static_cols": list(self.spec.static_cols),
+            "partition_lineage": lineage,
+            "counters": metrics[-1].to_dict() if metrics else {},
+            "history": [m.to_dict() for m in metrics],
+        }
+        tmp = os.path.join(path, "MANIFEST.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=2)
+        os.replace(tmp, os.path.join(path, "MANIFEST.json"))
+
+    @staticmethod
+    def latest_checkpoint(checkpoint_dir: str) -> tuple[int, dict] | None:
+        """Find the newest COMMITTED snapshot (manifest present)."""
+        if not os.path.isdir(checkpoint_dir):
+            return None
+        best = None
+        for name in sorted(os.listdir(checkpoint_dir)):
+            mf = os.path.join(checkpoint_dir, name, "MANIFEST.json")
+            if name.startswith("step=") and os.path.exists(mf):
+                with open(mf) as f:
+                    manifest = json.load(f)
+                best = (manifest["superstep"], manifest)
+        return best
+
+    def resume(self, edges: DataFrame, max_supersteps: int | None = None) -> PregelResult:
+        """Resume from the last committed checkpoint (reference semantics:
+        restart from the last completed superstep's values; in-flight
+        messages are pure functions of state so re-scatter is free —
+        Worker.go:641-654, SURVEY.md §4.4)."""
+        found = self.latest_checkpoint(self.checkpoint_dir)
+        if found is None:
+            return self.run(edges, max_supersteps=max_supersteps)
+        step, manifest = found
+        path = os.path.join(self.checkpoint_dir, f"step={step:06d}", "state")
+        state = (
+            self.spark.read.parquet(path)
+            .repartition(self.num_partitions, "id")
+            .localCheckpoint(eager=True)
+        )
+        return self.run(
+            edges, state=state, start_superstep=step, max_supersteps=max_supersteps
+        )

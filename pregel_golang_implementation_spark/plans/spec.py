@@ -1,0 +1,107 @@
+"""Algorithm specification: the vertex program as Column expressions.
+
+The reference's only extension point is the hand-written Go vertex program
+``Compute()`` (/root/reference/Vertex.go:68-88) plus its scatter
+``SendMessageToWorker()`` (Vertex.go:54-66).  Here an algorithm is a pure
+declarative 5-tuple — (init, msg, combine, apply, halt) — over DataFrame
+columns, so Catalyst/Tungsten (codegen, partial aggregation, AQE) execute
+it; no per-row Python anywhere on the hot path.
+
+Semantics contract (mirrors the reference's superstep, minus its races —
+SURVEY.md §2.3, §7 "hard parts (f)"):
+  msg       = msg_fn(value(src), weight(src→dst))       # scatter, Vertex.go:56-61
+  inbox(v)  = combine over all msgs targeting v         # fold, Vertex.go:71-80
+  value'    = apply_fn(value(v), inbox(v), globals)     # relax, Vertex.go:74-77
+  active'   = active_fn(value, value', inbox)           # vote-to-halt, Worker.go:707
+  halt when no vertex is active                          # Master.go:1044-1063
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# (src_value, edge_weight, globals) -> message value
+MsgFn = Callable[[Column, Column, dict], Column]
+# msgs DataFrame(id, msg) -> DataFrame(id, msg, msg_count); exactly one row per id
+CombineFn = Callable[[DataFrame], DataFrame]
+# (old_value, combined_msg_or_null, globals) -> new value
+ApplyFn = Callable[[Column, Column, dict], Column]
+# (old_value, new_value, combined_msg_or_null) -> active boolean
+ActiveFn = Callable[[Column, Column, Column], Column]
+# state DataFrame -> scalar aggregate Column (computed once per superstep)
+GlobalAgg = Callable[[], Column]
+
+
+def combine_min(msgs: DataFrame) -> DataFrame:
+    """min-combiner (SSSP/CC).  The reference folds min at the receiver only
+    (Vertex.go:71-80); Spark's partial+final hash aggregation gives the
+    sender-side combine the reference lacks (SURVEY.md §4 P2)."""
+    return msgs.groupBy("id").agg(
+        F.min("msg").alias("msg"), F.count(F.lit(1)).alias("msg_count")
+    )
+
+
+def combine_max(msgs: DataFrame) -> DataFrame:
+    return msgs.groupBy("id").agg(
+        F.max("msg").alias("msg"), F.count(F.lit(1)).alias("msg_count")
+    )
+
+
+def combine_sum(msgs: DataFrame) -> DataFrame:
+    """sum-combiner (PageRank mass accumulation)."""
+    return msgs.groupBy("id").agg(
+        F.sum("msg").alias("msg"), F.count(F.lit(1)).alias("msg_count")
+    )
+
+
+def combine_mode(msgs: DataFrame) -> DataFrame:
+    """mode-combiner (label propagation): most frequent message value,
+    deterministic ties → smallest value.  count + window row_number — no
+    Python (SURVEY.md §2.2 'window functions')."""
+    counts = msgs.groupBy("id", "msg").agg(F.count(F.lit(1)).alias("cnt"))
+    per_id = Window.partitionBy("id")
+    order = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("msg"))
+    return (
+        counts.withColumn("msg_count", F.sum("cnt").over(per_id))
+        .withColumn("_rn", F.row_number().over(order))
+        .filter(F.col("_rn") == 1)
+        .select("id", "msg", "msg_count")
+    )
+
+
+def default_active(old: Column, new: Column, msg: Column) -> Column:
+    """Reference halt-voting: a vertex stays active iff its value changed
+    this superstep (Vertex.go:82-85 'updated' + Worker.go:707 IDLE)."""
+    return ~(new.eqNullSafe(old))
+
+
+@dataclass
+class AlgorithmSpec:
+    """A Pregel vertex program as declarative column expressions.
+
+    ``init_fn`` takes the vertices DataFrame (at least column ``id``) and
+    returns (id, value [, static columns...]).  Static columns listed in
+    ``static_cols`` (e.g. a dangling flag for PageRank) are carried through
+    every superstep unchanged.
+    """
+
+    name: str
+    init_fn: Callable[[DataFrame], DataFrame]
+    msg_fn: MsgFn
+    combine: CombineFn
+    apply_fn: ApplyFn
+    active_fn: ActiveFn = default_active
+    static_cols: tuple[str, ...] = ()
+    # scatter only changed vertices (delta/frontier execution — SURVEY.md §4 P5).
+    # Must be False when combine needs messages from ALL neighbors every
+    # round (e.g. mode for LPA), not just changed ones.
+    use_frontier: bool = True
+    # name -> state aggregate recomputed each superstep, available to
+    # msg_fn/apply_fn via the globals dict (e.g. PageRank dangling mass).
+    global_aggs: dict[str, Column] = field(default_factory=dict)
+    max_supersteps: int = 200
+    params: dict = field(default_factory=dict)
