@@ -1,10 +1,19 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry runs an engine operator (SURVEY.md §2) over the
+driver's parquet tables; ``oracle_sql()`` holds the DuckDB twin.  The
+iterative graph queries (PageRank / CC / SSSP / LPA) run the REAL BSP
+superstep runner for a fixed number of supersteps, and their oracles are
+the same recurrence unrolled as chained SQL CTEs — supersteps are plain
+join+group-by SQL (SURVEY.md §5.3).
+
+Graph derivation (shared Spark/SQL): the bipartite order↔part graph from
+lineitem — src=l_orderkey, dst=10_000_000+l_partkey,
+weight=min(l_linenumber) — plus its symmetrized undirected form.
+
+Floats are rounded identically on both sides (rank→6dp, cosine→5dp) so
+the driver's order-insensitive value-hash is stable under FP-sum
+reordering; integer-valued results are exact.
 """
 
 from __future__ import annotations
@@ -12,27 +21,578 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from pregel_golang_implementation_spark.operators.connected_components import (
+    cc_spec,
+    symmetrize,
+)
+from pregel_golang_implementation_spark.operators.dedup import (
+    exact_duplicates,
+    lsh_bands,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard,
+    simhash,
+    word_shingles,
+)
+from pregel_golang_implementation_spark.operators.label_propagation import lpa_spec
+from pregel_golang_implementation_spark.operators.pagerank import (
+    pagerank_spec,
+    prepare_pagerank_graph,
+)
+from pregel_golang_implementation_spark.operators.similarity import (
+    cosine_topk,
+    srp_buckets,
+)
+from pregel_golang_implementation_spark.operators.sssp import sssp_spec
+from pregel_golang_implementation_spark.operators.textstats import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_stats,
+)
+from pregel_golang_implementation_spark.operators.triangles import _triangle_rows
+from pregel_golang_implementation_spark.plans.runner import PregelRunner
+from pregel_golang_implementation_spark.sources.graphs import edges_from_lineitem
+
+PART_OFFSET = 10_000_000
+PR_ITERS = 5
+CC_ITERS = 6
+SSSP_ITERS = 4
+LPA_ITERS = 2
+KNN_QUERY_IDS = [0, 1, 2, 3, 4]
+KNN_K = 5
+
+
+# --------------------------------------------------------------- helpers
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _runner(spark: SparkSession, spec) -> PregelRunner:
+    return PregelRunner(spark, spec, lineage_break_every=3)
+
+
+def _sssp_source(spark: SparkSession, sf_dir: str) -> int:
+    return (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .agg(F.min("l_orderkey"))
+        .first()[0]
+    )
+
+
+# ---------------------------------------------------------- spark queries
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = edges_from_lineitem(spark, sf_dir)
+    pr_edges, vertices = prepare_pagerank_graph(edges)
+    n = vertices.count()
+    res = _runner(spark, pagerank_spec(n, damping=0.85, tol=1e-12)).run(
+        pr_edges, vertices=vertices, max_supersteps=PR_ITERS
+    )
+    return res.state.select(
+        "id", F.round(F.col("value"), 6).alias("rank")
+    )
+
+
+def q_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    und = symmetrize(edges_from_lineitem(spark, sf_dir))
+    res = _runner(spark, cc_spec()).run(und, max_supersteps=CC_ITERS)
+    return res.state.select("id", F.col("value").cast("long").alias("component"))
+
+
+def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = symmetrize_weighted(edges_from_lineitem(spark, sf_dir))
+    src = _sssp_source(spark, sf_dir)
+    res = _runner(spark, sssp_spec(source=src)).run(edges, max_supersteps=SSSP_ITERS)
+    return res.state.filter(~F.isnan("value") & (F.col("value") < 1e17)).select(
+        "id", F.col("value").alias("distance")
+    )
+
+
+def symmetrize_weighted(edges: DataFrame) -> DataFrame:
+    """Undirected weighted view: both directions, min weight per pair."""
+    back = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("weight")
+    )
+    return (
+        edges.union(back)
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.min("weight").alias("weight"))
+    )
+
+
+def q_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    und = symmetrize(edges_from_lineitem(spark, sf_dir))
+    res = _runner(spark, lpa_spec()).run(und, max_supersteps=LPA_ITERS)
+    return res.state.select("id", F.col("value").cast("long").alias("label"))
+
+
+def q_scatter_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One superstep's scatter+combine in isolation (operators O5+O6+O7):
+    init value=id, msg=value+weight, min-combine."""
+    edges = edges_from_lineitem(spark, sf_dir)
+    msgs = edges.select(
+        F.col("dst").alias("id"), (F.col("src") + F.col("weight")).alias("m")
+    )
+    return msgs.groupBy("id").agg(
+        F.min("m").alias("msg"), F.count(F.lit(1)).cast("long").alias("n_msgs")
+    )
+
+
+def q_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = edges_from_lineitem(spark, sf_dir)
+    out_d = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    in_d = edges.groupBy(F.col("dst").alias("id")).agg(
+        F.count(F.lit(1)).alias("in_deg")
+    )
+    return (
+        out_d.join(in_d, "id", "full_outer")
+        .select(
+            "id",
+            F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
+        )
+    )
+
+
+def q_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vote-to-halt surface (O9): vertices still ACTIVE after 2 CC
+    supersteps — i.e. whose component label improved in superstep 2."""
+    und = symmetrize(edges_from_lineitem(spark, sf_dir))
+    res = _runner(spark, cc_spec()).run(und, max_supersteps=2)
+    return res.state.filter("active").select("id")
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part–part co-purchase graph: parts appearing in ≥2 common orders."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p2"))
+    return (
+        a.join(b, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= 2)
+        .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+    )
+
+
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _copurchase_edges(spark, sf_dir)
+    tri = _triangle_rows(e, degree_order=False)
+    return tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_duplicates(_docs(spark, sf_dir)).select(
+        "content_hash",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+    )
+
+
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = word_shingles(_docs(spark, sf_dir), n=3)
+    return minhash_signatures(sh, num_hashes=16, hash_fn="md5").select(
+        "doc_id", F.col("seed").cast("long").alias("seed"), "minhash"
+    )
+
+
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = word_shingles(_docs(spark, sf_dir), n=3)
+    sig = minhash_signatures(sh, num_hashes=16, hash_fn="md5")
+    return lsh_candidate_pairs(lsh_bands(sig, rows_per_band=4))
+
+
+def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = ngram_jaccard(_docs(spark, sf_dir), shingle_n=3, threshold=0.05)
+    return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(_docs(spark, sf_dir), bits=16)
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(_docs(spark, sf_dir))
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = cosine_topk(_emb(spark, sf_dir), KNN_QUERY_IDS, k=KNN_K, round_to=5)
+    return out.select(
+        "query_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def q_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return srp_buckets(_emb(spark, sf_dir), bits=8)
+
+
+# --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: PageRank to full 1e-6 convergence on the sf0.001 graph."""
+    sf_dir = "/root/testdata/sf0.001"
+    edges = edges_from_lineitem(spark, sf_dir)
+    pr_edges, vertices = prepare_pagerank_graph(edges)
+    n = vertices.count()
+    res = PregelRunner(spark, pagerank_spec(n, tol=1e-6)).run(
+        pr_edges, vertices=vertices
+    )
+    return res.state.select("id", F.col("value").alias("rank")).orderBy(
+        F.desc("rank"), F.asc("id")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pagerank_5iter": q_pagerank,
+        "cc_6iter": q_cc,
+        "sssp_4iter": q_sssp,
+        "lpa_2iter": q_lpa,
+        "scatter_combine_min": q_scatter_combine,
+        "vertex_degrees": q_degrees,
+        "frontier_after_2": q_frontier,
+        "triangle_count": q_triangles,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash,
+        "lsh_candidate_pairs": q_lsh_pairs,
+        "ngram_jaccard": q_jaccard,
+        "simhash16": q_simhash,
+        "token_stats": q_token_stats,
+        "quality_score": q_quality,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_fingerprint,
+        "embedding_knn": q_knn,
+        "srp_buckets": q_srp_buckets,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------- oracle SQL
+
+_E = (
+    "e AS (SELECT l_orderkey AS src, 10000000 + l_partkey AS dst, "
+    "CAST(min(l_linenumber) AS DOUBLE) AS weight FROM lineitem GROUP BY 1, 2)"
+)
+_U = "u AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e)"
+_UW = (
+    "uw AS (SELECT src, dst, min(weight) AS weight FROM "
+    "(SELECT src, dst, weight FROM e UNION ALL SELECT dst, src, weight FROM e) "
+    "GROUP BY 1, 2)"
+)
+_V = "v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e)"
+
+
+def _pagerank_sql(iters: int, damping: float = 0.85) -> str:
+    parts = [
+        _E,
+        _V,
+        "deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src)",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v)",
+        "s0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS r FROM v)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"s{k - 1}"
+        parts.append(
+            f"d{k} AS (SELECT COALESCE(SUM(p.r), 0) AS dm FROM {p} p "
+            f"LEFT JOIN deg ON p.id = deg.src WHERE deg.src IS NULL)"
+        )
+        parts.append(
+            f"m{k} AS (SELECT e.dst AS id, SUM(p.r / deg.outdeg) AS s "
+            f"FROM {p} p JOIN e ON p.id = e.src JOIN deg ON deg.src = e.src "
+            f"GROUP BY e.dst)"
+        )
+        parts.append(
+            f"s{k} AS (SELECT v.id, (1 - {damping}) / (SELECT n FROM nn) + "
+            f"{damping} * (COALESCE(m{k}.s, 0) + (SELECT dm FROM d{k}) / (SELECT n FROM nn)) AS r "
+            f"FROM v LEFT JOIN m{k} ON v.id = m{k}.id)"
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT id, CAST(ROUND(r, 6) AS DOUBLE) AS rank FROM s{iters}"
+    )
+
+
+def _cc_sql(iters: int) -> str:
+    parts = [_E, _U, _V, "s0 AS (SELECT id, id AS val FROM v)"]
+    for k in range(1, iters + 1):
+        p = f"s{k - 1}"
+        parts.append(
+            f"m{k} AS (SELECT u.dst AS id, MIN(p.val) AS mv FROM {p} p "
+            f"JOIN u ON p.id = u.src GROUP BY u.dst)"
+        )
+        parts.append(
+            f"s{k} AS (SELECT {p}.id, LEAST({p}.val, COALESCE(m{k}.mv, {p}.val)) AS val "
+            f"FROM {p} LEFT JOIN m{k} ON {p}.id = m{k}.id)"
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT id, CAST(val AS BIGINT) AS component FROM s{iters}"
+    )
+
+
+def _sssp_sql(iters: int) -> str:
+    inf = "1e300"
+    parts = [
+        _E,
+        _UW,
+        _V,
+        "src0 AS (SELECT MIN(l_orderkey) AS s FROM lineitem)",
+        f"s0 AS (SELECT id, CASE WHEN id = (SELECT s FROM src0) THEN 0.0 ELSE {inf} END AS val FROM v)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"s{k - 1}"
+        parts.append(
+            f"m{k} AS (SELECT uw.dst AS id, MIN(p.val + uw.weight) AS mv FROM {p} p "
+            f"JOIN uw ON p.id = uw.src WHERE p.val < 1e17 GROUP BY uw.dst)"
+        )
+        parts.append(
+            f"s{k} AS (SELECT {p}.id, LEAST({p}.val, COALESCE(m{k}.mv, {p}.val)) AS val "
+            f"FROM {p} LEFT JOIN m{k} ON {p}.id = m{k}.id)"
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT id, val AS distance FROM s{iters} WHERE val < 1e17"
+    )
+
+
+def _lpa_sql(iters: int) -> str:
+    parts = [_E, _U, _V, "s0 AS (SELECT id, id AS val FROM v)"]
+    for k in range(1, iters + 1):
+        p = f"s{k - 1}"
+        parts.append(
+            f"c{k} AS (SELECT u.dst AS id, p.val AS lbl, COUNT(*) AS cnt FROM {p} p "
+            f"JOIN u ON p.id = u.src GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"t{k} AS (SELECT id, lbl, ROW_NUMBER() OVER "
+            f"(PARTITION BY id ORDER BY cnt DESC, lbl ASC) AS rn FROM c{k})"
+        )
+        parts.append(
+            f"s{k} AS (SELECT {p}.id, COALESCE(t.lbl, {p}.val) AS val FROM {p} "
+            f"LEFT JOIN (SELECT id, lbl FROM t{k} WHERE rn = 1) t ON {p}.id = t.id)"
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT id, CAST(val AS BIGINT) AS label FROM s{iters}"
+    )
+
+
+_CC2_ACTIVE_SQL = (
+    "WITH "
+    + ", ".join(
+        [
+            _E,
+            _U,
+            _V,
+            "s0 AS (SELECT id, id AS val FROM v)",
+            "m1 AS (SELECT u.dst AS id, MIN(p.val) AS mv FROM s0 p JOIN u ON p.id = u.src GROUP BY u.dst)",
+            "s1 AS (SELECT s0.id, LEAST(s0.val, COALESCE(m1.mv, s0.val)) AS val FROM s0 LEFT JOIN m1 ON s0.id = m1.id)",
+            "m2 AS (SELECT u.dst AS id, MIN(p.val) AS mv FROM s1 p JOIN u ON p.id = u.src GROUP BY u.dst)",
+            "s2 AS (SELECT s1.id, LEAST(s1.val, COALESCE(m2.mv, s1.val)) AS val FROM s1 LEFT JOIN m2 ON s1.id = m2.id)",
+        ]
+    )
+    + " SELECT s2.id FROM s2 JOIN s1 ON s2.id = s1.id WHERE s2.val < s1.val"
+)
+
+_SHINGLES = (
+    "toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents), "
+    "sh0 AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN "
+    "[w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in generate_series(1, len(w) - 2)] "
+    "ELSE [array_to_string(w, ' ')] END AS shl FROM toks), "
+    "sh AS (SELECT DISTINCT doc_id, unnest(shl) AS shingle FROM sh0)"
+)
+
+_MINHASH = (
+    _SHINGLES + ", "
+    "sd AS (SELECT doc_id, shingle, unnest(generate_series(0, 15)) AS seed FROM sh), "
+    "sig AS (SELECT doc_id, seed, MIN(md5(seed::VARCHAR || '|' || shingle)) AS minhash "
+    "FROM sd GROUP BY 1, 2)"
+)
+
+_BANDS = (
+    _MINHASH + ", "
+    "bands AS (SELECT doc_id, seed // 4 AS band, "
+    "md5(string_agg(lpad(seed::VARCHAR, 4, '0') || ':' || minhash, ',' "
+    "ORDER BY lpad(seed::VARCHAR, 4, '0') || ':' || minhash)) AS band_key "
+    "FROM sig GROUP BY 1, 2)"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pagerank_5iter": _pagerank_sql(PR_ITERS),
+        "cc_6iter": _cc_sql(CC_ITERS),
+        "sssp_4iter": _sssp_sql(SSSP_ITERS),
+        "lpa_2iter": _lpa_sql(LPA_ITERS),
+        "scatter_combine_min": (
+            f"WITH {_E} SELECT dst AS id, MIN(src + weight) AS msg, "
+            "COUNT(*) AS n_msgs FROM e GROUP BY dst"
+        ),
+        "vertex_degrees": (
+            f"WITH {_E}, "
+            "od AS (SELECT src AS id, COUNT(*) AS out_deg FROM e GROUP BY 1), "
+            "id_ AS (SELECT dst AS id, COUNT(*) AS in_deg FROM e GROUP BY 1) "
+            "SELECT COALESCE(od.id, id_.id) AS id, COALESCE(out_deg, 0) AS out_deg, "
+            "COALESCE(in_deg, 0) AS in_deg FROM od FULL OUTER JOIN id_ ON od.id = id_.id"
+        ),
+        "frontier_after_2": _CC2_ACTIVE_SQL,
+        "triangle_count": (
+            "WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), "
+            "pp AS (SELECT a.p AS src, b.p AS dst FROM li a JOIN li b ON a.o = b.o AND a.p < b.p "
+            "GROUP BY 1, 2 HAVING COUNT(*) >= 2) "
+            "SELECT COUNT(*) AS n_triangles FROM pp e1 "
+            "JOIN pp e2 ON e1.dst = e2.src JOIN pp e3 ON e3.src = e1.src AND e3.dst = e2.dst"
+        ),
+        "dedup_exact": (
+            "SELECT md5(text) AS content_hash, COUNT(*) AS n_docs, "
+            "MIN(doc_id) AS canonical_id FROM documents GROUP BY 1"
+        ),
+        "minhash_signatures": (
+            f"WITH {_MINHASH} SELECT doc_id, seed AS seed, minhash FROM sig"
+        ),
+        "lsh_candidate_pairs": (
+            f"WITH {_BANDS} SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+            "FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key "
+            "AND a.doc_id < b.doc_id"
+        ),
+        "ngram_jaccard": (
+            f"WITH {_SHINGLES}, "
+            "sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1), "
+            "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter "
+            "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT doc_a, doc_b, CAST(ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS DOUBLE) AS jaccard "
+            "FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id "
+            "WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.05"
+        ),
+        "simhash16": (
+            "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok FROM documents), "
+            "h AS (SELECT doc_id, md5(tok) AS hh FROM toks), "
+            "vv AS (SELECT doc_id, unnest(generate_series(0, 15)) AS j, hh FROM h), "
+            "votes AS (SELECT doc_id, j, CASE WHEN substr(hh, j + 1, 1) IN "
+            "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS vt FROM vv), "
+            "bitsum AS (SELECT doc_id, j, SUM(vt) AS s FROM votes GROUP BY 1, 2) "
+            "SELECT doc_id, CAST(SUM(CASE WHEN s >= 0 THEN POW(2, j) ELSE 0 END) AS BIGINT) AS simhash "
+            "FROM bitsum GROUP BY 1"
+        ),
+        "token_stats": (
+            "SELECT doc_id, "
+            "len(regexp_split_to_array(trim(lower(text)), '\\s+'))::BIGINT AS n_tokens, "
+            "length(text)::BIGINT AS n_chars, "
+            "octet_length(encode(text))::BIGINT AS n_bytes FROM documents"
+        ),
+        "quality_score": _quality_sql(),
+        "lang_id": _lang_id_sql(),
+        "doc_fingerprint": (
+            "WITH n AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm FROM documents) "
+            "SELECT doc_id, md5(norm) AS fp_norm, "
+            "list_aggregate([md5(substr(norm, i, 8)) for i in "
+            "generate_series(1, greatest(length(norm) - 7, 1))], 'min') AS fp_min_shingle FROM n"
+        ),
+        "embedding_knn": _knn_sql(),
+        "srp_buckets": _srp_sql(),
+    }
+
+
+def _quality_sql() -> str:
+    from pregel_golang_implementation_spark.operators.textstats import LANG_MARKERS
+
+    stop = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+    stop_list = ", ".join(f"'{w}'" for w in stop)
+    return (
+        "WITH t AS (SELECT doc_id, text, "
+        "regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents), "
+        "base AS (SELECT doc_id, "
+        f"CAST(ROUND(len(list_filter(w, x -> x IN ({stop_list}))) / GREATEST(len(w), 1), 6) AS DOUBLE) AS stopword_ratio, "
+        "CAST(ROUND(length(regexp_replace(trim(text), '\\s+', '', 'g')) / GREATEST(len(w), 1), 6) AS DOUBLE) AS mean_token_len, "
+        "CAST(ROUND(length(regexp_replace(text, '[^\\p{L}\\p{N}]', '', 'g')) / GREATEST(length(text), 1), 6) AS DOUBLE) AS alnum_ratio "
+        "FROM t) "
+        "SELECT doc_id, stopword_ratio, mean_token_len, alnum_ratio, "
+        "CAST(mean_token_len >= 2 AND mean_token_len <= 12 AND alnum_ratio >= 0.5 AS INT) AS quality "
+        "FROM base"
+    )
+
+
+def _lang_id_sql() -> str:
+    from pregel_golang_implementation_spark.operators.textstats import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    hits = ", ".join(
+        "len(list_filter(w, x -> x IN ({}))) AS h_{}".format(
+            ", ".join(f"'{t}'" for t in LANG_MARKERS[lang]), lang
+        )
+        for lang in langs
+    )
+    gmax = "GREATEST(" + ", ".join(f"h_{l}" for l in langs) + ")"
+    case = f"CASE WHEN {gmax} = 0 THEN 'und' "
+    for i, lang in enumerate(langs):
+        if i < len(langs) - 1:
+            conds = " AND ".join(f"h_{lang} >= h_{other}" for other in langs[i + 1 :])
+            case += f"WHEN {conds} THEN '{lang}' "
+        else:
+            case += f"ELSE '{lang}' "
+    case += "END"
+    return (
+        "WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents), "
+        f"s AS (SELECT doc_id, {hits} FROM t) "
+        f"SELECT doc_id, {case} AS lang_guess, {gmax}::BIGINT AS lang_hits FROM s"
+    )
+
+
+def _knn_sql() -> str:
+    ids = ", ".join(str(i) for i in KNN_QUERY_IDS)
+    dot = "list_aggregate([qv[i]::DOUBLE * cv[i]::DOUBLE for i in generate_series(1, len(qv))], 'sum')"
+    nq = "sqrt(list_aggregate([qv[i]::DOUBLE * qv[i]::DOUBLE for i in generate_series(1, len(qv))], 'sum'))"
+    nc = "sqrt(list_aggregate([cv[i]::DOUBLE * cv[i]::DOUBLE for i in generate_series(1, len(cv))], 'sum'))"
+    return (
+        f"WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id IN ({ids})), "
+        "c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings), "
+        "scored AS (SELECT query_id, neighbor_id, "
+        f"CAST(ROUND({dot} / ({nq} * {nc}), 5) AS DOUBLE) AS sim FROM q, c "
+        "WHERE query_id <> neighbor_id), "
+        "ranked AS (SELECT query_id, neighbor_id, sim, ROW_NUMBER() OVER "
+        "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored) "
+        f"SELECT query_id, neighbor_id, sim, rank::BIGINT AS rank FROM ranked WHERE rank <= {KNN_K}"
+    )
+
+
+def _srp_sql(bits: int = 8) -> str:
+    return (
+        "WITH d AS (SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS i FROM embeddings), "
+        "dx AS (SELECT vec_id, i - 1 AS dim, embedding[i]::DOUBLE AS x FROM d), "
+        f"db AS (SELECT vec_id, dim, x, unnest(generate_series(0, {bits - 1})) AS b FROM dx), "
+        "proj AS (SELECT vec_id, b, x * (CASE WHEN substr(md5(b::VARCHAR || '_' || dim::VARCHAR), 1, 1) "
+        "IN ('0','1','2','3','4','5','6','7') THEN -1.0 ELSE 1.0 END) AS wx FROM db), "
+        "s AS (SELECT vec_id, b, ROUND(SUM(wx), 6) AS s FROM proj GROUP BY 1, 2) "
+        "SELECT vec_id, CAST(SUM(CASE WHEN s >= 0 THEN POW(2, b) ELSE 0 END) AS BIGINT) AS bucket "
+        "FROM s GROUP BY 1"
+    )

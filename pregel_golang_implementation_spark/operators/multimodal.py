@@ -1,0 +1,131 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed via Arrow-batched mapInPandas.
+
+The image/audio decode libraries are NOT in this container — the decode
+step is STUBBED (deterministic fake features derived from the raw bytes,
+clearly marked) while everything Spark-side is real and tested: the
+schema, the binary column handling, the Arrow batch shape, the UDF
+signatures, and the partitioning.  Swap `_fake_decode_*` for
+PIL/torchaudio calls in a real deployment — nothing else changes.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("n_bytes", T.LongType(), False),
+                    T.StructField("sha256", T.StringType(), False),
+                    T.StructField("source", T.StringType(), True),
+                ]
+            ),
+            False,
+        ),
+    ]
+)
+
+
+def attach_media(
+    docs: DataFrame, id_col: str = "doc_id", payload_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Build the canonical media table from any table with a payload
+    column: binary payload + typed metadata (n_bytes, sha256, source).
+    JVM-side encode/sha2 — the metadata never round-trips through Python."""
+    payload = F.encode(F.col(payload_col), "UTF-8")
+    return docs.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        payload.alias("payload"),
+        F.lit("image").alias("media_type"),
+        F.struct(
+            F.octet_length(F.col(payload_col)).cast("long").alias("n_bytes"),
+            F.sha2(payload, 256).alias("sha256"),
+            F.col(source_col).cast("string").alias("source"),
+        ).alias("meta"),
+    )
+
+
+# ------------------------------------------------------------ decode stubs
+
+FEATURE_DIM = 8
+
+
+def _fake_decode_image(payload: bytes) -> np.ndarray:
+    """STUB — deterministic fake for the decode step (no PIL in this
+    container).  Real plumbing, fake pixels: an 8-bin byte histogram,
+    L1-normalized.  Replace with real decode+resize in production."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if arr.size == 0:
+        return np.zeros(FEATURE_DIM, dtype=np.float64)
+    hist, _ = np.histogram(arr, bins=FEATURE_DIM, range=(0, 256))
+    return hist / max(1, arr.size)
+
+
+def decode_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
+    """(media_id, media_type, n_bytes, features: array<double>) — the
+    decode / feature-extract stage as an Arrow-batched mapInPandas
+    operator.  Column pruning matters at scale: only (media_id,
+    media_type, payload) enter the Python worker; metadata stays JVM-side
+    and is re-joined by the caller if needed."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _fake_decode_image(p if isinstance(p, (bytes, bytearray)) else bytes(p))
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "features": [f.tolist() for f in feats],
+                }
+            )
+
+    pruned = media.select("media_id", "media_type", "payload")
+    return pruned.mapInPandas(
+        extract,
+        schema="media_id long, media_type string, n_bytes long, features array<double>",
+    )
+
+
+def frame_sample(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
+    """(media_id, frame_no, frame_sha256) — video frame-sampling STUB:
+    real videos would decode + sample every Nth frame; the fake samples
+    every Nth byte-window of the payload and fingerprints it.  The Spark
+    plumbing (explode to frame rows, per-frame hash, bounded fan-out) is
+    the real part."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids, frames, hashes = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                raw = p if isinstance(p, (bytes, bytearray)) else bytes(p)
+                for k in range(min(max_frames, max(1, len(raw) // every_n_bytes))):
+                    chunk = raw[k * every_n_bytes : (k + 1) * every_n_bytes]
+                    ids.append(mid)
+                    frames.append(k)
+                    hashes.append(hashlib.sha256(chunk).hexdigest())
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_no": frames, "frame_sha256": hashes}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        sample, schema="media_id long, frame_no int, frame_sha256 string"
+    )

@@ -1,0 +1,122 @@
+"""Text analysis for training-data curation: token stats, quality
+scoring, n-gram language ID, document fingerprinting.
+
+All built-in column expressions (split/regexp/aggregate) — JVM-side,
+whole-stage codegen; every operator has an exact SQL twin for the
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language function-word lists for the n-gram/stopword heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "was", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "sich", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "dans", "que", "pour", "une", "des"],
+    "es": ["el", "la", "los", "las", "es", "en", "que", "por", "una", "con"],
+}
+
+
+def _tokens(text_col: str) -> Column:
+    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+
+def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_tokens, n_chars, n_bytes) — whitespace tokenization +
+    byte length (the multimodal-adjacent 'how big is this really')."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(_tokens(text_col)).cast("long").alias("n_tokens"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        F.octet_length(F.col(text_col)).cast("long").alias("n_bytes"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, stopword_ratio, mean_token_len, alnum_ratio, quality) —
+    length/punct/stopword quality heuristics (Gopher-rules-style).
+    quality = 1 if all three gates pass."""
+    toks = _tokens(text_col)
+    all_stop = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(all_stop)))
+    alnum = F.length(F.regexp_replace(F.col(text_col), r"[^\p{L}\p{N}]", ""))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.round(n_stop / F.greatest(n_tok, F.lit(1)), 6).alias("stopword_ratio"),
+        F.round(
+            F.length(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", ""))
+            / F.greatest(n_tok, F.lit(1)),
+            6,
+        ).alias("mean_token_len"),
+        F.round(alnum / F.greatest(F.length(F.col(text_col)), F.lit(1)), 6).alias(
+            "alnum_ratio"
+        ),
+    ).withColumn(
+        "quality",
+        (
+            (F.col("mean_token_len") >= 2)
+            & (F.col("mean_token_len") <= 12)
+            & (F.col("alnum_ratio") >= 0.5)
+        ).cast("int"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, lang_guess, lang_hits) — argmax over per-language
+    function-word hit counts; ties → lexicographically smallest language
+    code; no hits → 'und'."""
+    toks = _tokens(text_col)
+    hit_cols = [
+        F.size(F.filter(toks, lambda t: t.isin(LANG_MARKERS[lang]))).alias(f"_h_{lang}")
+        for lang in sorted(LANG_MARKERS)
+    ]
+    scored = docs.select(F.col(id_col).alias("doc_id"), *hit_cols)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.col(f"_h_{lang}").alias("hits"), F.lit(lang).alias("lang")
+            )
+            for lang in sorted(LANG_MARKERS)
+        ]
+    )
+    # array_max on struct compares field-by-field: max hits, then max lang —
+    # we want ties → SMALLEST lang, so compare (hits, reverse-rank of lang)
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    F.col(f"_h_{lang}").alias("hits"),
+                    F.lit(-i).alias("nrank"),
+                    F.lit(lang).alias("lang"),
+                )
+                for i, lang in enumerate(sorted(LANG_MARKERS))
+            ]
+        )
+    )
+    return scored.select(
+        "doc_id",
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_guess"),
+        best["hits"].cast("long").alias("lang_hits"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, fp_norm, fp_min_shingle) — two document fingerprints:
+    md5 of whitespace-normalized lowercase text (exact-ish dedup key) and
+    the minimum md5 over 8-char character shingles (winnowing-style
+    robust fingerprint)."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    n = F.length(norm)
+    shingle_hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 7, F.lit(1))),
+        lambda i: F.md5(norm.substr(i, F.lit(8))),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(norm).alias("fp_norm"),
+        F.array_min(shingle_hashes).alias("fp_min_shingle"),
+    )

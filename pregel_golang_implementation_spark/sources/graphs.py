@@ -79,11 +79,17 @@ def edges_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     src=l_orderkey, dst=PART_OFFSET+l_partkey, weight=l_linenumber.
     Deterministic, DuckDB-expressible (for oracle_sql twins)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    return li.select(
-        F.col("l_orderkey").cast("long").alias("src"),
-        (F.lit(10_000_000) + F.col("l_partkey")).cast("long").alias("dst"),
-        F.col("l_linenumber").cast("double").alias("weight"),
-    ).dropDuplicates(["src", "dst"])
+    return (
+        li.select(
+            F.col("l_orderkey").cast("long").alias("src"),
+            (F.lit(10_000_000) + F.col("l_partkey")).cast("long").alias("dst"),
+            F.col("l_linenumber").cast("double").alias("weight"),
+        )
+        # deterministic weight per (src,dst) — dropDuplicates would keep an
+        # arbitrary row's weight and break oracle comparison
+        .groupBy("src", "dst")
+        .agg(F.min("weight").alias("weight"))
+    )
 
 
 def edges_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
