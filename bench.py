@@ -1,0 +1,122 @@
+"""Headline benchmark — run per-round by the driver.
+
+Runs the engine's flagship operators at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value" (total secs), "unit": "sec", "queries": {name:
+secs}, "sf", plus pagerank throughput counters (BASELINE.json metric:
+supersteps/min and edges/sec to 1e-6 convergence)}.
+
+Scaling-efficiency evidence (N vs 4N cores) lives in
+tools/bench_scaling.py → BENCH/BASELINE.md — too heavy to run per-round
+here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from pregel_golang_implementation_spark.operators import (
+    connected_components,
+    pagerank,
+    sssp,
+    triangle_count,
+)
+from pregel_golang_implementation_spark.operators.dedup import minhash_dedup
+from pregel_golang_implementation_spark.operators.similarity import cosine_topk
+from pregel_golang_implementation_spark.session import get_spark
+from pregel_golang_implementation_spark.sources.graphs import edges_from_lineitem
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="bench", cores=cpus, shuffle_partitions=cpus)
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    edges = edges_from_lineitem(spark, sf_dir)
+    edges = edges.persist()
+    n_edges = edges.count()
+
+    t0 = time.monotonic()
+    pr = pagerank(spark, edges, tol=1e-6, max_supersteps=100)
+    pr.state.count()
+    dt = time.monotonic() - t0
+    timings["pagerank_1e6"] = round(dt, 3)
+    extras["pagerank_supersteps"] = pr.supersteps
+    extras["pagerank_converged"] = int(pr.converged)
+    extras["pagerank_supersteps_per_min"] = round(pr.supersteps / (dt / 60.0), 2)
+    extras["pagerank_edges_per_sec"] = round(n_edges * pr.supersteps / dt, 1)
+    extras["n_edges"] = n_edges
+
+    t0 = time.monotonic()
+    cc = connected_components(spark, edges)
+    cc.state.count()
+    timings["connected_components"] = round(time.monotonic() - t0, 3)
+    extras["cc_supersteps"] = cc.supersteps
+
+    t0 = time.monotonic()
+    src = spark.read.parquet(f"{sf_dir}/lineitem.parquet").agg(F.min("l_orderkey")).first()[0]
+    sp = sssp(spark, edges, source=int(src))
+    sp.state.count()
+    timings["sssp"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p2"))
+    copurchase = (
+        a.join(b, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+    )
+    extras["n_triangles"] = triangle_count(spark, copurchase, degree_order=True)
+    timings["triangle_count"] = round(time.monotonic() - t0, 3)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t0 = time.monotonic()
+    pairs = minhash_dedup(docs, shingle_n=3, num_hashes=16, rows_per_band=4, hash_fn="xxhash")
+    extras["minhash_pairs"] = pairs.count()
+    timings["minhash_dedup"] = round(time.monotonic() - t0, 3)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    t0 = time.monotonic()
+    knn = cosine_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10)
+    knn.count()
+    timings["cosine_topk"] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

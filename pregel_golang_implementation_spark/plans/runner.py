@@ -84,7 +84,7 @@ class PregelRunner:
         spark: SparkSession,
         spec: AlgorithmSpec,
         num_partitions: int | None = None,
-        lineage_break_every: int = 4,
+        lineage_break_every: int = 4,  # plan doubles per step; truncate every K
         checkpoint_dir: str | None = None,
         checkpoint_every: int = 0,
         broadcast_frontier_threshold: int = 100_000,
@@ -148,13 +148,20 @@ class PregelRunner:
     ) -> DataFrame:
         spec = self.spec
         frontier = state.filter("active") if spec.use_frontier else state
-        if (
-            spec.use_frontier
-            and 0 < prev_active <= self.broadcast_frontier_threshold
-        ):
+        small_frontier = (
+            spec.use_frontier and 0 < prev_active <= self.broadcast_frontier_threshold
+        )
+        if small_frontier:
             # small frontier: ship it to every edge partition instead of
             # shuffling the (much larger) edge table (SURVEY.md §4 P11)
             frontier = F.broadcast(frontier)
+        else:
+            # both sides are already hash-partitioned on the join key
+            # (edges by src once at setup; state by id from the previous
+            # apply join) — a shuffle-hash join skips the per-superstep
+            # sort that sort-merge would redo on the full edge table every
+            # iteration (iterative workloads never amortize that sort)
+            frontier = frontier.hint("shuffle_hash")
 
         # scatter: the join IS the message send (replaces Vertex.go:54-66 +
         # the worker TCP mesh Worker.go:799-849). Aliased — state lineage can
@@ -171,8 +178,9 @@ class PregelRunner:
         # combine: sender-side partial agg + final agg — the exchange shuffle
         combined = spec.combine(msgs)
 
-        # apply: fold inbox into state (replaces Vertex.go:68-88)
-        joined = state.join(combined, "id", "left")
+        # apply: fold inbox into state (replaces Vertex.go:68-88); both
+        # sides partitioned by id → shuffle-hash, no sort
+        joined = state.join(combined.hint("shuffle_hash"), "id", "left")
         new_value = spec.apply_fn(F.col("value"), F.col("msg"), g)
         out = joined.select(
             F.col("id"),
@@ -214,16 +222,20 @@ class PregelRunner:
             if vertices is None:
                 vertices = self.vertices_from_edges(edges)
             state = self._init_state(vertices)
-        state = state.persist()
         g = self._collect_globals(state)
         prev_active = -1  # unknown → don't broadcast on step 1
 
         metrics: list[SuperstepMetrics] = []
         step = start_superstep
         converged = False
+        prev_cached = None  # the previous superstep's persisted new_state
         while step - start_superstep < max_steps:
             step += 1
             t0 = time.monotonic()
+            # persist keeps the hash(id) output partitioning visible to the
+            # planner (localCheckpoint would erase it and force a re-shuffle
+            # of state on every join); the metrics agg is the materializing
+            # action (the BSP barrier).
             new_state = self._one_superstep(state, edges, g, prev_active).persist()
 
             agg_cols = [
@@ -235,13 +247,23 @@ class PregelRunner:
             row = new_state.agg(*agg_cols).first()
             g = {k: row[k] for k in spec.global_aggs}
 
-            state.unpersist()
+            if prev_cached is not None:
+                prev_cached.unpersist()  # previous step's blocks — now dead
+            prev_cached = new_state
             state = new_state.select("id", *spec.static_cols, "value", "active")
-            if self.lineage_break_every and (step % self.lineage_break_every == 0):
-                # break the iterative plan's lineage or it grows without
-                # bound (SURVEY.md §4 P10 — hazard the Go design never had)
+            if self.lineage_break_every and step % self.lineage_break_every == 0:
+                # lineage break: every superstep references the previous
+                # state TWICE (frontier join + apply join), so the analyzed
+                # plan tree DOUBLES per step — Catalyst analysis cost grows
+                # exponentially past ~6 unbroken steps even though caches
+                # stop recomputation. Truncate every few steps; the eager
+                # localCheckpoint copies from the still-persisted blocks
+                # (cheap) at the cost of re-shuffling state once on the next
+                # join (its partitioning metadata is erased). Measured
+                # optimum ≈ every 4 steps (SURVEY.md §4 P10).
                 state = state.localCheckpoint(eager=True)
-                new_state.unpersist()
+                prev_cached.unpersist()
+                prev_cached = None
 
             m = SuperstepMetrics(
                 superstep=step,

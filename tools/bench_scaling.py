@@ -1,0 +1,153 @@
+"""Scaling-efficiency evidence for the north_rule criterion.
+
+The rule requires throughput scaling efficiency ≥0.8 from N to 4N
+executors.  No real cluster exists in this sandbox, so (per task
+directive + BASELINE.md) we run the SAME job on the SAME input at two
+parallelism levels — local[N] and local[4N] — in separate JVMs, and
+report absolute throughput at both plus eff = T(4N) / (4 · T(N)).
+
+Job: PageRank, fixed supersteps (not to-convergence, so both levels do
+byte-identical work), over a seeded synthetic graph ≥5M edges (big
+enough that local[32] is not scheduler-bound — BASELINE.md note).
+
+Usage:
+  python tools/bench_scaling.py worker <cores> <num_vertices> <avg_degree> <supersteps>
+      → prints one JSON line
+  python tools/bench_scaling.py [N] [vertices] [degree] [steps]
+      → orchestrates both levels (N and 4N), writes BENCH/BASELINE.md
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def run_worker(cores: int, num_vertices: int, avg_degree: int, supersteps: int) -> None:
+    from pregel_golang_implementation_spark.operators.pagerank import (
+        pagerank_spec,
+        prepare_pagerank_graph,
+    )
+    from pregel_golang_implementation_spark.plans.runner import PregelRunner
+    from pregel_golang_implementation_spark.session import get_spark
+    from pregel_golang_implementation_spark.sources.graphs import synthetic_edges
+
+    spark = get_spark(
+        app_name=f"scaling-{cores}", cores=cores, shuffle_partitions=max(cores, 8)
+    )
+    # identical input bytes at every parallelism level: generator partitions
+    # are fixed (64), independent of session cores
+    edges = synthetic_edges(
+        spark, num_vertices=num_vertices, avg_degree=avg_degree, seed=42,
+        num_partitions=64,
+    )
+    pr_edges, vertices = prepare_pagerank_graph(edges)
+    pr_edges = pr_edges.persist()
+    n_edges = pr_edges.count()
+    n = vertices.count()
+    spec = pagerank_spec(n, tol=0.0)  # tol=0 → never converges early
+
+    runner = PregelRunner(spark, spec, num_partitions=max(cores, 8))
+    t0 = time.monotonic()
+    res = runner.run(pr_edges, vertices=vertices, max_supersteps=supersteps)
+    wall = time.monotonic() - t0
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "n_vertices": n,
+                "n_edges": n_edges,
+                "supersteps": res.supersteps,
+                "wall_secs": round(wall, 3),
+                "edges_per_sec": round(n_edges * res.supersteps / wall, 1),
+                "supersteps_per_min": round(res.supersteps / (wall / 60), 2),
+            }
+        )
+    )
+    spark.stop()
+
+
+def orchestrate(n_cores: int, num_vertices: int, avg_degree: int, supersteps: int) -> None:
+    results = {}
+    for cores in (n_cores, 4 * n_cores):
+        out = subprocess.run(
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "worker",
+                str(cores),
+                str(num_vertices),
+                str(avg_degree),
+                str(supersteps),
+            ],
+            capture_output=True,
+            text=True,
+            timeout=3600,
+            cwd=REPO,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if not line:
+            sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:] + "\n")
+            raise SystemExit(f"worker {cores} produced no result")
+        results[cores] = json.loads(line[-1])
+        print(f"local[{cores}]: {results[cores]}")
+
+    lo, hi = results[n_cores], results[4 * n_cores]
+    eff = hi["edges_per_sec"] / (4 * lo["edges_per_sec"])
+    report = {
+        "job": "pagerank_fixed_supersteps",
+        "input": {
+            "n_vertices": lo["n_vertices"],
+            "n_edges": lo["n_edges"],
+            "seed": 42,
+            "supersteps": supersteps,
+        },
+        "low": lo,
+        "high": hi,
+        "scaling_efficiency": round(eff, 3),
+        "criterion": "eff = T(4N)/(4*T(N)) >= 0.8",
+        "pass": eff >= 0.8,
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    md = f"""# BENCH/BASELINE.md — measured throughput + scaling efficiency
+
+North-rule scaling criterion evidenced per the task directive: the same
+PageRank job (fixed {supersteps} supersteps, identical seeded input:
+{lo["n_vertices"]:,} vertices / {lo["n_edges"]:,} directed edges, generator
+partitioning fixed at 64 so input bytes are identical) run at two
+parallelism levels in separate JVMs.
+
+| parallelism | wall (s) | edges/sec | supersteps/min |
+|---|---|---|---|
+| local[{n_cores}] | {lo["wall_secs"]} | {lo["edges_per_sec"]:,} | {lo["supersteps_per_min"]} |
+| local[{4 * n_cores}] | {hi["wall_secs"]} | {hi["edges_per_sec"]:,} | {hi["supersteps_per_min"]} |
+
+**Scaling efficiency** = T(4N) / (4 × T(N)) = {hi["edges_per_sec"]:,} / (4 × {lo["edges_per_sec"]:,})
+= **{eff:.3f}** — criterion ≥ 0.8: **{"PASS" if eff >= 0.8 else "FAIL"}**.
+
+Throughput definition (BASELINE.md): edges/sec = directed edges ×
+supersteps executed / wall seconds.  Raw numbers: `BENCH/scaling.json`.
+Reproduce: `python tools/bench_scaling.py {n_cores} {num_vertices} {avg_degree} {supersteps}`.
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    print(md)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "worker":
+        run_worker(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]), int(sys.argv[5]))
+    else:
+        n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+        v = int(sys.argv[2]) if len(sys.argv) > 2 else 700_000
+        d = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+        s = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+        orchestrate(n, v, d, s)
