@@ -40,9 +40,12 @@ def pagerank_spec(num_vertices: int, damping: float = 0.85, tol: float = 1e-6) -
         return value * weight
 
     def apply_fn(old, msg, g):
-        dangling = float(g.get("dangling_mass", 0.0) or 0.0)
+        # g["dangling_mass"] is a COLUMN (broadcast 1-row join), not a
+        # literal — keeps every superstep's generated code identical so
+        # whole-stage codegen caches across iterations (runner.py)
+        dm = g.get("dangling_mass", F.lit(0.0))
         return F.lit((1.0 - d) / n) + F.lit(d) * (
-            F.coalesce(msg, F.lit(0.0)) + F.lit(dangling / n)
+            F.coalesce(msg, F.lit(0.0)) + dm / F.lit(n)
         )
 
     def active_fn(old, new, msg):

@@ -117,7 +117,10 @@ def ann_topk(
     """Approximate top-k: exact cosine, but only within the query's SRP
     bucket (the IVF-style scale path; recall < 1.0 by design)."""
     bk = srp_buckets(embeddings, bits=bits, id_col=id_col, vec_col=vec_col)
-    emb = embeddings.join(bk, F.col(id_col) == bk["vec_id"]).drop(bk["vec_id"])
+    emb = embeddings.join(
+        bk.withColumnRenamed("vec_id", "_bk_id"),
+        F.col(id_col) == F.col("_bk_id"),
+    ).drop("_bk_id")
     q = emb.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), F.col("bucket")
     )

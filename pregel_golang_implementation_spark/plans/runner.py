@@ -32,7 +32,7 @@ import os
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from pregel_golang_implementation_spark.plans.spec import AlgorithmSpec
@@ -84,7 +84,7 @@ class PregelRunner:
         spark: SparkSession,
         spec: AlgorithmSpec,
         num_partitions: int | None = None,
-        lineage_break_every: int = 4,  # plan doubles per step; truncate every K
+        lineage_break_every: int = 2,  # plan doubles per step; truncate every K
         checkpoint_dir: str | None = None,
         checkpoint_every: int = 0,
         broadcast_frontier_threshold: int = 100_000,
@@ -181,7 +181,25 @@ class PregelRunner:
         # apply: fold inbox into state (replaces Vertex.go:68-88); both
         # sides partitioned by id → shuffle-hash, no sort
         joined = state.join(combined.hint("shuffle_hash"), "id", "left")
-        new_value = spec.apply_fn(F.col("value"), F.col("msg"), g)
+        if spec.global_aggs and os.environ.get("PREGEL_GLOBALS_MODE", "literal") == "column":
+            # alternative: globals as a broadcast 1-row frame (keeps the
+            # generated code value-independent). MEASURED SLOWER here: the
+            # per-step broadcast exchange + nested-loop join costs more
+            # than the codegen recompile that per-step literals cause
+            # (A/B on 19M edges, local[16]: literal ~3s/step steady vs
+            # column 5-33s/step). Kept as an escape hatch for real
+            # clusters where driver-side codegen compile is the scarcer
+            # resource.
+            gdf = self.spark.createDataFrame(
+                [tuple(float(g[k] or 0.0) for k in spec.global_aggs)],
+                schema=[f"_g_{k}" for k in spec.global_aggs],
+            )
+            joined = joined.join(F.broadcast(gdf))
+            gcols = {k: F.col(f"_g_{k}") for k in spec.global_aggs}
+        else:
+            # per-superstep scalars as literals (default)
+            gcols = {k: F.lit(float(g[k] or 0.0)) for k in spec.global_aggs}
+        new_value = spec.apply_fn(F.col("value"), F.col("msg"), gcols)
         out = joined.select(
             F.col("id"),
             *[F.col(c) for c in spec.static_cols],
@@ -234,17 +252,24 @@ class PregelRunner:
             t0 = time.monotonic()
             # persist keeps the hash(id) output partitioning visible to the
             # planner (localCheckpoint would erase it and force a re-shuffle
-            # of state on every join); the metrics agg is the materializing
-            # action (the BSP barrier).
-            new_state = self._one_superstep(state, edges, g, prev_active).persist()
-
+            # of state on every join). Metrics + global aggregates ride on
+            # the SAME materializing action via the Observation API — one
+            # job per superstep, no second pass over state (the reference
+            # needs a whole master round-trip for this, Master.go:958-967).
             agg_cols = [
                 F.sum(F.col("active").cast("long")).alias("_active"),
                 F.sum("_nmsg").alias("_msgs"),
                 F.max("_delta").alias("_maxdelta"),
                 F.count(F.lit(1)).alias("_n"),
             ] + [c.alias(k) for k, c in spec.global_aggs.items()]
-            row = new_state.agg(*agg_cols).first()
+            obs = Observation(f"superstep_{step}")
+            new_state = (
+                self._one_superstep(state, edges, g, prev_active)
+                .observe(obs, *agg_cols)
+                .persist()
+            )
+            new_state.count()  # the BSP barrier action
+            row = obs.get
             g = {k: row[k] for k in spec.global_aggs}
 
             if prev_cached is not None:
@@ -260,7 +285,7 @@ class PregelRunner:
                 # localCheckpoint copies from the still-persisted blocks
                 # (cheap) at the cost of re-shuffling state once on the next
                 # join (its partitioning metadata is erased). Measured
-                # optimum ≈ every 4 steps (SURVEY.md §4 P10).
+                # optimum ≈ every 2 steps (SURVEY.md §4 P10).
                 state = state.localCheckpoint(eager=True)
                 prev_cached.unpersist()
                 prev_cached = None

@@ -24,11 +24,14 @@ from typing import Callable, Optional
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-# (src_value, edge_weight, globals) -> message value
+# (src_value, edge_weight, globals as python floats) -> message value
 MsgFn = Callable[[Column, Column, dict], Column]
 # msgs DataFrame(id, msg) -> DataFrame(id, msg, msg_count); exactly one row per id
 CombineFn = Callable[[DataFrame], DataFrame]
-# (old_value, combined_msg_or_null, globals) -> new value
+# (old_value, combined_msg_or_null, globals as COLUMNS) -> new value.
+# Globals reach apply as column references over a broadcast 1-row frame —
+# never embed a per-superstep scalar as F.lit() in apply, or codegen
+# recompiles every stage every superstep (see runner._one_superstep).
 ApplyFn = Callable[[Column, Column, dict], Column]
 # (old_value, new_value, combined_msg_or_null) -> active boolean
 ActiveFn = Callable[[Column, Column, Column], Column]
