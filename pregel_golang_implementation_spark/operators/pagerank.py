@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pregel_golang_implementation_spark.plans.runner import PregelResult, PregelRunner
-from pregel_golang_implementation_spark.plans.spec import AlgorithmSpec, combine_sum
+from pregel_golang_implementation_spark.plans.spec import AlgorithmSpec, combine_sum, recombine_sum
 
 
 def pagerank_spec(num_vertices: int, damping: float = 0.85, tol: float = 1e-6) -> AlgorithmSpec:
@@ -40,9 +40,9 @@ def pagerank_spec(num_vertices: int, damping: float = 0.85, tol: float = 1e-6) -
         return value * weight
 
     def apply_fn(old, msg, g):
-        # g["dangling_mass"] is a COLUMN (broadcast 1-row join), not a
-        # literal — keeps every superstep's generated code identical so
-        # whole-stage codegen caches across iterations (runner.py)
+        # g["dangling_mass"] arrives as a Column (a literal by default, or
+        # a broadcast 1-row column under PREGEL_GLOBALS_MODE=column — see
+        # runner._one_superstep for the measured tradeoff)
         dm = g.get("dangling_mass", F.lit(0.0))
         return F.lit((1.0 - d) / n) + F.lit(d) * (
             F.coalesce(msg, F.lit(0.0)) + dm / F.lit(n)
@@ -56,6 +56,7 @@ def pagerank_spec(num_vertices: int, damping: float = 0.85, tol: float = 1e-6) -
         init_fn=init_fn,
         msg_fn=msg_fn,
         combine=combine_sum,
+        recombine=recombine_sum,
         apply_fn=apply_fn,
         active_fn=active_fn,
         static_cols=("is_dangling",),

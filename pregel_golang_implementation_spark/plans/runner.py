@@ -88,6 +88,8 @@ class PregelRunner:
         checkpoint_dir: str | None = None,
         checkpoint_every: int = 0,
         broadcast_frontier_threshold: int = 100_000,
+        salt_degree_threshold: int | None = None,
+        num_salts: int = 32,
     ):
         self.spark = spark
         self.spec = spec
@@ -98,6 +100,13 @@ class PregelRunner:
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every = checkpoint_every
         self.broadcast_frontier_threshold = broadcast_frontier_threshold
+        # explicit skew splitting of hub inboxes (north_rule; SURVEY.md §4
+        # P7 — the reference routes the whole inbox of a hub to one worker,
+        # Worker.go:821). Requires an algebraic spec.recombine and
+        # non-negative vertex ids (the salted key space is negative).
+        self.salt_degree_threshold = salt_degree_threshold
+        self.num_salts = num_salts
+        self._salting = bool(salt_degree_threshold) and spec.recombine is not None
 
     # ----------------------------------------------------------------- setup
 
@@ -107,8 +116,14 @@ class PregelRunner:
             cols.append(F.col("weight").cast("double"))
         else:
             cols.append(F.lit(1.0).alias("weight"))
-        e = edges.select(*cols).repartition(self.num_partitions, "src")
-        e = e.persist()
+        e = edges.select(*cols)
+        if self._salting:
+            from pregel_golang_implementation_spark.sources.graphs import salt_hubs
+
+            e, _hubs = salt_hubs(
+                e, degree_threshold=self.salt_degree_threshold, num_salts=self.num_salts
+            )
+        e = e.repartition(self.num_partitions, "src").persist()
         e.count()  # materialize once; every superstep reuses this layout
         return e
 
@@ -177,6 +192,18 @@ class PregelRunner:
         )
         # combine: sender-side partial agg + final agg — the exchange shuffle
         combined = spec.combine(msgs)
+        if self._salting:
+            # hub inboxes were split across num_salts reducer keys (negative
+            # id space); merge the partials algebraically. Non-hub rows pass
+            # through untouched — only the (few) hub partials re-shuffle.
+            from pregel_golang_implementation_spark.sources.graphs import unsalt_ids
+
+            hub_partials = unsalt_ids(
+                combined.filter(F.col("id") < 0), id_col="id", num_salts=self.num_salts
+            )
+            combined = combined.filter(F.col("id") >= 0).unionByName(
+                spec.recombine(hub_partials)
+            )
 
         # apply: fold inbox into state (replaces Vertex.go:68-88); both
         # sides partitioned by id → shuffle-hash, no sort
@@ -235,10 +262,15 @@ class PregelRunner:
         or to ``max_supersteps``."""
         spec = self.spec
         max_steps = max_supersteps or spec.max_supersteps
+        if state is None and vertices is None:
+            # derive vertices from the UNSALTED edges — salting (below)
+            # rewrites hub dst ids into a reserved negative key space that
+            # must never become vertex state
+            vertices = self.vertices_from_edges(
+                edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+            )
         edges = self._prepare_edges(edges)
         if state is None:
-            if vertices is None:
-                vertices = self.vertices_from_edges(edges)
             state = self._init_state(vertices)
         g = self._collect_globals(state)
         prev_active = -1  # unknown → don't broadcast on step 1

@@ -76,6 +76,20 @@ def combine_mode(msgs: DataFrame) -> DataFrame:
     )
 
 
+def recombine_min(partials: DataFrame) -> DataFrame:
+    """Algebraic merge of combine_min partials (salted-hub re-merge)."""
+    return partials.groupBy("id").agg(
+        F.min("msg").alias("msg"), F.sum("msg_count").alias("msg_count")
+    )
+
+
+def recombine_sum(partials: DataFrame) -> DataFrame:
+    """Algebraic merge of combine_sum partials (salted-hub re-merge)."""
+    return partials.groupBy("id").agg(
+        F.sum("msg").alias("msg"), F.sum("msg_count").alias("msg_count")
+    )
+
+
 def default_active(old: Column, new: Column, msg: Column) -> Column:
     """Reference halt-voting: a vertex stays active iff its value changed
     this superstep (Vertex.go:82-85 'updated' + Worker.go:707 IDLE)."""
@@ -106,5 +120,10 @@ class AlgorithmSpec:
     # name -> state aggregate recomputed each superstep, available to
     # msg_fn/apply_fn via the globals dict (e.g. PageRank dangling mass).
     global_aggs: dict[str, Column] = field(default_factory=dict)
+    # Re-merge function for salted hub partials: DataFrame(id, msg,
+    # msg_count) with several rows per hub id -> one row per id.  Must be
+    # the algebraic merge of `combine` (min→min, sum→sum).  None ⇒ the
+    # combiner is not algebraic (e.g. mode) and hub salting is disabled.
+    recombine: Optional[CombineFn] = None
     max_supersteps: int = 200
     params: dict = field(default_factory=dict)
