@@ -32,6 +32,7 @@ from pregel_golang_implementation_spark.operators.dedup import (
     lsh_bands,
     lsh_candidate_pairs,
     minhash_signatures,
+    near_dup_clusters,
     ngram_jaccard,
     simhash,
     word_shingles,
@@ -42,6 +43,7 @@ from pregel_golang_implementation_spark.operators.pagerank import (
     prepare_pagerank_graph,
 )
 from pregel_golang_implementation_spark.operators.similarity import (
+    ann_candidates,
     cosine_topk,
     srp_buckets,
 )
@@ -63,6 +65,8 @@ SSSP_ITERS = 4
 LPA_ITERS = 2
 KNN_QUERY_IDS = [0, 1, 2, 3, 4]
 KNN_K = 5
+RESOLVE_ITERS = 6
+RESOLVE_THRESHOLD = 0.5
 
 
 # --------------------------------------------------------------- helpers
@@ -253,6 +257,36 @@ def q_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srp_buckets(_emb(spark, sf_dir), bits=8)
 
 
+def q_jaccard_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-candidates-then-verify — the pair predicate sits BELOW the
+    shingle self-join (the scale path; all-pairs never materializes)."""
+    docs = _docs(spark, sf_dir)
+    sh = word_shingles(docs, n=3)
+    sig = minhash_signatures(sh, num_hashes=16, hash_fn="md5")
+    pairs = lsh_candidate_pairs(lsh_bands(sig, rows_per_band=4))
+    out = ngram_jaccard(docs, pairs=pairs, shingle_n=3)
+    return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup resolution: exact collapse → LSH candidates →
+    Jaccard verify → CC over the duplicate graph → canonical per cluster."""
+    out = near_dup_clusters(
+        _docs(spark, sf_dir),
+        threshold=RESOLVE_THRESHOLD,
+        max_supersteps=RESOLVE_ITERS,
+    )
+    return out.select(
+        "doc_id",
+        "cluster_id",
+        F.col("is_canonical").cast("long").alias("is_canonical"),
+    )
+
+
+def q_ann_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_candidates(_emb(spark, sf_dir), bits=8)
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -290,6 +324,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_fingerprint,
         "embedding_knn": q_knn,
         "srp_buckets": q_srp_buckets,
+        "jaccard_candidates": q_jaccard_candidates,
+        "dedup_resolve": q_dedup_resolve,
+        "ann_candidates": q_ann_candidates,
     }
 
 
@@ -424,28 +461,91 @@ _CC2_ACTIVE_SQL = (
     + " SELECT s2.id FROM s2 JOIN s1 ON s2.id = s1.id WHERE s2.val < s1.val"
 )
 
-_SHINGLES = (
-    "toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents), "
-    "sh0 AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN "
-    "[w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in generate_series(1, len(w) - 2)] "
-    "ELSE [array_to_string(w, ' ')] END AS shl FROM toks), "
-    "sh AS (SELECT DISTINCT doc_id, unnest(shl) AS shingle FROM sh0)"
+def _shingles_sql(src: str = "documents") -> str:
+    return (
+        f"toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM {src}), "
+        "sh0 AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN "
+        "[w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in generate_series(1, len(w) - 2)] "
+        "ELSE [array_to_string(w, ' ')] END AS shl FROM toks), "
+        "sh AS (SELECT DISTINCT doc_id, unnest(shl) AS shingle FROM sh0)"
+    )
+
+
+_SHINGLES = _shingles_sql("documents")
+
+def _minhash_sql(src: str = "documents") -> str:
+    return (
+        _shingles_sql(src) + ", "
+        "sd AS (SELECT doc_id, shingle, unnest(generate_series(0, 15)) AS seed FROM sh), "
+        "sig AS (SELECT doc_id, seed, MIN(md5(seed::VARCHAR || '|' || shingle)) AS minhash "
+        "FROM sd GROUP BY 1, 2)"
+    )
+
+
+def _bands_sql(src: str = "documents") -> str:
+    return (
+        _minhash_sql(src) + ", "
+        "bands AS (SELECT doc_id, seed // 4 AS band, "
+        "md5(string_agg(lpad(seed::VARCHAR, 4, '0') || ':' || minhash, ',' "
+        "ORDER BY lpad(seed::VARCHAR, 4, '0') || ':' || minhash)) AS band_key "
+        "FROM sig GROUP BY 1, 2)"
+    )
+
+
+_MINHASH = _minhash_sql("documents")
+_BANDS = _bands_sql("documents")
+
+_CAND = (
+    "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    "FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key "
+    "AND a.doc_id < b.doc_id)"
 )
 
-_MINHASH = (
-    _SHINGLES + ", "
-    "sd AS (SELECT doc_id, shingle, unnest(generate_series(0, 15)) AS seed FROM sh), "
-    "sig AS (SELECT doc_id, seed, MIN(md5(seed::VARCHAR || '|' || shingle)) AS minhash "
-    "FROM sd GROUP BY 1, 2)"
+_VERIFY = (
+    "sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1), "
+    "inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter FROM cand c "
+    "JOIN sh a ON a.doc_id = c.doc_a "
+    "JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle GROUP BY 1, 2)"
 )
 
-_BANDS = (
-    _MINHASH + ", "
-    "bands AS (SELECT doc_id, seed // 4 AS band, "
-    "md5(string_agg(lpad(seed::VARCHAR, 4, '0') || ':' || minhash, ',' "
-    "ORDER BY lpad(seed::VARCHAR, 4, '0') || ':' || minhash)) AS band_key "
-    "FROM sig GROUP BY 1, 2)"
-)
+
+def _dedup_resolve_sql(iters: int, threshold: float) -> str:
+    """Oracle twin of near_dup_clusters: exact collapse → LSH over
+    representatives → Jaccard verify → (exact ∪ verified) edges → `iters`
+    hash-min supersteps unrolled as chained CTEs."""
+    parts = [
+        "dh AS (SELECT doc_id, md5(text) AS h FROM documents)",
+        "grp AS (SELECT h, MIN(doc_id) AS rep FROM dh GROUP BY 1)",
+        "exact_edges AS (SELECT grp.rep AS src, dh.doc_id AS dst FROM dh "
+        "JOIN grp ON dh.h = grp.h WHERE dh.doc_id <> grp.rep)",
+        "reps AS (SELECT d.doc_id, d.text FROM documents d JOIN grp ON d.doc_id = grp.rep)",
+        _bands_sql("reps"),
+        _CAND,
+        _VERIFY,
+        f"ver AS (SELECT doc_a, doc_b FROM inter "
+        f"JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id "
+        f"WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= {threshold})",
+        "e0 AS (SELECT src, dst FROM exact_edges UNION SELECT doc_a, doc_b FROM ver)",
+        "u AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0)",
+        "v AS (SELECT doc_id AS id FROM documents)",
+        "s0 AS (SELECT id, id AS val FROM v)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"s{k - 1}"
+        parts.append(
+            f"m{k} AS (SELECT u.dst AS id, MIN(p.val) AS mv FROM {p} p "
+            f"JOIN u ON p.id = u.src GROUP BY u.dst)"
+        )
+        parts.append(
+            f"s{k} AS (SELECT {p}.id, LEAST({p}.val, COALESCE(m{k}.mv, {p}.val)) AS val "
+            f"FROM {p} LEFT JOIN m{k} ON {p}.id = m{k}.id)"
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT id AS doc_id, CAST(val AS BIGINT) AS cluster_id, "
+        f"CAST(id = val AS BIGINT) AS is_canonical FROM s{iters}"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -520,6 +620,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "embedding_knn": _knn_sql(),
         "srp_buckets": _srp_sql(),
+        "jaccard_candidates": (
+            f"WITH {_BANDS}, {_CAND}, {_VERIFY} "
+            "SELECT doc_a, doc_b, CAST(ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS DOUBLE) AS jaccard "
+            "FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id"
+        ),
+        "dedup_resolve": _dedup_resolve_sql(RESOLVE_ITERS, RESOLVE_THRESHOLD),
+        "ann_candidates": (
+            "WITH bk AS (" + _srp_sql() + ") "
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM bk a "
+            "JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id"
+        ),
     }
 
 

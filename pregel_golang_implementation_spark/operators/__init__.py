@@ -13,14 +13,20 @@ from pregel_golang_implementation_spark.operators.triangles import (
     triangles_per_vertex,
 )
 from pregel_golang_implementation_spark.operators.dedup import (
+    dedup_corpus,
     exact_duplicates,
+    exact_representatives,
     minhash_dedup,
+    near_dup_clusters,
     ngram_jaccard,
+    oversized_buckets,
     simhash,
 )
 from pregel_golang_implementation_spark.operators.similarity import (
+    ann_candidates,
     ann_topk,
     cosine_topk,
+    oversized_srp_buckets,
     srp_buckets,
 )
 from pregel_golang_implementation_spark.operators.textstats import (
@@ -31,12 +37,18 @@ from pregel_golang_implementation_spark.operators.textstats import (
 )
 
 __all__ = [
+    "dedup_corpus",
     "exact_duplicates",
+    "exact_representatives",
     "minhash_dedup",
+    "near_dup_clusters",
     "ngram_jaccard",
+    "oversized_buckets",
     "simhash",
+    "ann_candidates",
     "ann_topk",
     "cosine_topk",
+    "oversized_srp_buckets",
     "srp_buckets",
     "fingerprint",
     "lang_id",

@@ -107,9 +107,35 @@ def lsh_bands(signatures: DataFrame, rows_per_band: int = 4) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+def oversized_buckets(bands: DataFrame, max_bucket_size: int) -> DataFrame:
+    """(band, band_key, n_docs) — buckets ABOVE the occupancy cap, i.e.
+    what ``lsh_candidate_pairs(max_bucket_size=...)`` drops.  Report this
+    alongside the pairs — capped coverage must never be silent."""
+    return (
+        bands.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > max_bucket_size)
+    )
+
+
+def lsh_candidate_pairs(bands: DataFrame, max_bucket_size: int | None = None) -> DataFrame:
     """(doc_a, doc_b) distinct — documents sharing ≥1 band bucket.
-    Self-join keyed by (band, band_key); doc_a < doc_b."""
+    Self-join keyed by (band, band_key); doc_a < doc_b.
+
+    ``max_bucket_size`` caps bucket occupancy: a real crawl has mega
+    near-dup clusters whose k docs share every band, and an uncapped
+    in-bucket self-join emits k²/2 rows from ONE reducer.  Buckets above
+    the cap are skipped (use ``oversized_buckets`` for the dropped set;
+    collapse exact duplicates FIRST — ``minhash_dedup(collapse_exact=
+    True)`` — so caps only ever bite genuinely distinct text)."""
+    if max_bucket_size is not None:
+        ok = (
+            bands.groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .select("band", "band_key")
+        )
+        bands = bands.join(ok, ["band", "band_key"], "left_semi")
     l = bands.select(F.col("band"), F.col("band_key"), F.col("doc_id").alias("doc_a"))
     r = bands.select(F.col("band"), F.col("band_key"), F.col("doc_id").alias("doc_b"))
     return (
@@ -126,11 +152,42 @@ def minhash_dedup(
     num_hashes: int = 16,
     rows_per_band: int = 4,
     hash_fn: str = "md5",
+    collapse_exact: bool = False,
+    max_bucket_size: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
 ) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline → candidate pairs (doc_a, doc_b)."""
-    sh = word_shingles(docs, n=shingle_n)
+    """Full MinHash-LSH near-dup pipeline → candidate pairs (doc_a, doc_b).
+
+    ``collapse_exact=True`` first collapses byte-identical documents to one
+    representative per content hash (hash-groupBy, one shuffle) and runs
+    MinHash over representatives only — a crawl's exact-dup clusters never
+    reach the banding join, which is what makes ``max_bucket_size`` a
+    safety valve rather than a coverage loss.  Exact-dup membership is
+    recovered via ``exact_duplicates``/``near_dup_clusters``."""
+    if collapse_exact:
+        docs = exact_representatives(docs, text_col=text_col, id_col=id_col)
+    sh = word_shingles(docs, n=shingle_n, text_col=text_col, id_col=id_col)
     sig = minhash_signatures(sh, num_hashes=num_hashes, hash_fn=hash_fn)
-    return lsh_candidate_pairs(lsh_bands(sig, rows_per_band=rows_per_band))
+    return lsh_candidate_pairs(
+        lsh_bands(sig, rows_per_band=rows_per_band), max_bucket_size=max_bucket_size
+    )
+
+
+def exact_representatives(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One representative document (the min id) per distinct content hash.
+    Output columns: (doc_id, text) aliased to the input names."""
+    reps = (
+        docs.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("_h"))
+        .groupBy("_h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return docs.join(
+        reps.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
+    )
 
 
 # --------------------------------------------------------- n-gram jaccard
@@ -142,21 +199,45 @@ def ngram_jaccard(
 
     Relational formulation (explode → join → count) so the semantics are
     oracle-identical in any SQL engine; when ``pairs`` (candidate pairs
-    from LSH) is given, only those pairs are scored — the 100 TB path is
-    always LSH-candidates-then-verify, never all-pairs.
+    from LSH) is given, only those pairs are scored — and the pair
+    predicate is pushed BELOW the shingle self-join/aggregate, so the
+    quadratic co-occurrence blow-up never materializes.  The 100 TB path
+    is always LSH-candidates-then-verify, never all-pairs.
     """
     sh = word_shingles(docs, n=shingle_n)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
     if pairs is not None:
-        inter = inter.join(pairs, ["doc_a", "doc_b"], "inner")
+        # The candidate-pair predicate must sit BELOW the shingle self-join
+        # and the (doc_a, doc_b) aggregate — joining pairs after the
+        # aggregate would first materialize ALL co-occurring doc pairs (a
+        # stop-shingle shared by 1M docs → 5·10^11 join rows).  Shape:
+        # semi-join each shingle side to its candidate doc set, drive the
+        # join from pairs (pairs ⋈ a on doc_a, then ⋈ b on (doc_b,
+        # shingle)) so only candidate pairs' shingles ever co-occur.
+        pairs = pairs.select("doc_a", "doc_b").filter(
+            F.col("doc_a") < F.col("doc_b")
+        ).distinct()
+        a = sh.join(
+            pairs.select(F.col("doc_a").alias("doc_id")).distinct(), "doc_id", "left_semi"
+        ).select(F.col("doc_id").alias("doc_a"), "shingle")
+        b = sh.join(
+            pairs.select(F.col("doc_b").alias("doc_id")).distinct(), "doc_id", "left_semi"
+        ).select(F.col("doc_id").alias("doc_b"), "shingle")
+        inter = (
+            pairs.join(a, "doc_a")
+            .join(b, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     out = (
@@ -171,6 +252,80 @@ def ngram_jaccard(
         )
     )
     return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
+
+
+# -------------------------------------------------- end-to-end resolution
+
+def near_dup_clusters(
+    docs: DataFrame,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+    max_supersteps: int = 6,
+    max_bucket_size: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The composition a pipeline user actually runs: candidate pairs →
+    Jaccard verify → connected components over the duplicate graph →
+    canonical document per cluster.
+
+    Output: (doc_id, cluster_id, is_canonical) — cluster_id is the min
+    doc id in the duplicate cluster; keep ``is_canonical`` rows for the
+    deduped corpus (``dedup_corpus``).
+
+    Stages (each individually scale-safe):
+      1. collapse exact dups (hash-groupBy; min id is the representative)
+         so mega exact-dup clusters never reach the banding join;
+      2. MinHash-LSH candidate pairs over representatives (bucketed,
+         optionally capped);
+      3. exact n-gram Jaccard verify at ``threshold``, with the pair
+         predicate below the shingle join;
+      4. hash-min label spreading over (exact edges ∪ verified pairs) via
+         the BSP runner — ``max_supersteps`` bounds the cluster-graph
+         diameter walked; near-dup clusters converge in a few steps
+         (a fixed bound also keeps the operator oracle-expressible).
+    """
+    from pregel_golang_implementation_spark.operators.connected_components import (
+        cc_spec,
+        symmetrize,
+    )
+    from pregel_golang_implementation_spark.plans.runner import PregelRunner
+
+    d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    exact = exact_duplicates(d)  # (content_hash, n_docs, canonical_id)
+    with_hash = d.select("doc_id", F.md5(F.col("text")).alias("content_hash"))
+    exact_edges = (
+        with_hash.join(exact.select("content_hash", "canonical_id"), "content_hash")
+        .filter(F.col("doc_id") != F.col("canonical_id"))
+        .select(F.col("canonical_id").alias("src"), F.col("doc_id").alias("dst"))
+    )
+    reps = exact_representatives(d)
+    pairs = minhash_dedup(
+        reps,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        rows_per_band=rows_per_band,
+        max_bucket_size=max_bucket_size,
+    )
+    verified = ngram_jaccard(reps, pairs=pairs, shingle_n=shingle_n, threshold=threshold)
+    near_edges = verified.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    dup_graph = symmetrize(exact_edges.unionByName(near_edges))
+    vertices = d.select(F.col("doc_id").alias("id"))
+    runner = PregelRunner(docs.sparkSession, cc_spec(max_supersteps=max_supersteps))
+    res = runner.run(dup_graph, vertices=vertices)
+    return res.state.select(
+        F.col("id").alias("doc_id"),
+        F.col("value").cast("long").alias("cluster_id"),
+        (F.col("id") == F.col("value").cast("long")).alias("is_canonical"),
+    )
+
+
+def dedup_corpus(docs: DataFrame, clusters: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deduped corpus view: keep only each cluster's canonical document."""
+    keep = clusters.filter("is_canonical").select(F.col("doc_id").alias(id_col))
+    return docs.join(keep, id_col, "left_semi")
 
 
 # ----------------------------------------------------------------- simhash

@@ -62,11 +62,26 @@ def attach_media(
 
 FEATURE_DIM = 8
 
+# Real-decode escape hatch: if Pillow is importable (real deployment), the
+# image path upgrades itself to decode+resize+histogram over true pixels;
+# in this container (no PIL) it falls back to the deterministic byte-level
+# stub.  Detection happens ONCE at import on the driver; the flag is a
+# plain bool so it serializes into the UDF closure unchanged — every
+# executor takes the same path.
+try:  # pragma: no cover - exercised only where Pillow is installed
+    from PIL import Image as _PILImage
+
+    HAS_PIL = True
+except ImportError:
+    _PILImage = None
+    HAS_PIL = False
+
 
 def _fake_decode_image(payload: bytes) -> np.ndarray:
     """STUB — deterministic fake for the decode step (no PIL in this
     container).  Real plumbing, fake pixels: an 8-bin byte histogram,
-    L1-normalized.  Replace with real decode+resize in production."""
+    L1-normalized.  ``decode_features`` swaps in ``_pil_decode_image``
+    automatically when Pillow is present."""
     arr = np.frombuffer(payload, dtype=np.uint8)
     if arr.size == 0:
         return np.zeros(FEATURE_DIM, dtype=np.float64)
@@ -74,17 +89,40 @@ def _fake_decode_image(payload: bytes) -> np.ndarray:
     return hist / max(1, arr.size)
 
 
-def decode_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
+def _pil_decode_image(payload: bytes) -> np.ndarray:  # pragma: no cover
+    """Real decode path (used when Pillow is importable): decode → 32×32
+    grayscale resize → 8-bin pixel histogram, L1-normalized.  Same output
+    schema as the stub, so the operator contract is identical both ways.
+    Undecodable payloads degrade to the stub (never fail the batch)."""
+    import io
+
+    try:
+        img = _PILImage.open(io.BytesIO(payload)).convert("L").resize((32, 32))
+        arr = np.asarray(img, dtype=np.uint8).ravel()
+    except Exception:
+        return _fake_decode_image(payload)
+    hist, _ = np.histogram(arr, bins=FEATURE_DIM, range=(0, 256))
+    return hist / max(1, arr.size)
+
+
+def decode_features(
+    media: DataFrame, batch_hint: int | None = None, use_pil: bool | None = None
+) -> DataFrame:
     """(media_id, media_type, n_bytes, features: array<double>) — the
     decode / feature-extract stage as an Arrow-batched mapInPandas
     operator.  Column pruning matters at scale: only (media_id,
     media_type, payload) enter the Python worker; metadata stays JVM-side
-    and is re-joined by the caller if needed."""
+    and is re-joined by the caller if needed.
+
+    ``use_pil=None`` (default) auto-detects Pillow: real decode when
+    available, deterministic byte-histogram stub otherwise — same schema
+    and operator contract either way."""
+    decode = _pil_decode_image if (HAS_PIL if use_pil is None else use_pil) else _fake_decode_image
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                _fake_decode_image(p if isinstance(p, (bytes, bytearray)) else bytes(p))
+                decode(p if isinstance(p, (bytes, bytearray)) else bytes(p))
                 for p in pdf["payload"]
             ]
             yield pd.DataFrame(

@@ -93,16 +93,50 @@ def srp_buckets(
 
 
 def ann_candidates(
-    embeddings: DataFrame, bits: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
+    embeddings: DataFrame,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """(vec_a, vec_b) — candidate near-neighbor pairs sharing an SRP
     bucket.  Expected bucket occupancy n/2^bits keeps the in-bucket
-    self-join sub-quadratic; verify candidates with exact cosine after."""
+    self-join sub-quadratic; verify candidates with exact cosine after.
+
+    ``max_bucket_size`` caps bucket occupancy (identical/near-identical
+    embedding clusters put k vectors in one bucket → k²/2 pairs from one
+    reducer); buckets above the cap are skipped.  Use
+    ``oversized_srp_buckets`` to report what was dropped — never silent."""
     bk = srp_buckets(embeddings, bits=bits, id_col=id_col, vec_col=vec_col)
+    if max_bucket_size is not None:
+        ok = (
+            bk.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .select("bucket")
+        )
+        bk = bk.join(ok, "bucket", "left_semi")
     l = bk.select(F.col("bucket"), F.col("vec_id").alias("vec_a"))
     r = bk.select(F.col("bucket"), F.col("vec_id").alias("vec_b"))
     return (
         l.join(r, "bucket").filter(F.col("vec_a") < F.col("vec_b")).select("vec_a", "vec_b")
+    )
+
+
+def oversized_srp_buckets(
+    embeddings: DataFrame,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """(bucket, n_vecs) — SRP buckets above the occupancy cap, i.e. what
+    ``ann_candidates(max_bucket_size=...)`` skips."""
+    bk = srp_buckets(embeddings, bits=bits, id_col=id_col, vec_col=vec_col)
+    return (
+        bk.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .filter(F.col("n_vecs") > max_bucket_size)
     )
 
 

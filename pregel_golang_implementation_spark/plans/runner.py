@@ -107,6 +107,7 @@ class PregelRunner:
         self.salt_degree_threshold = salt_degree_threshold
         self.num_salts = num_salts
         self._salting = bool(salt_degree_threshold) and spec.recombine is not None
+        self._edges_cached: DataFrame | None = None
 
     # ----------------------------------------------------------------- setup
 
@@ -118,6 +119,17 @@ class PregelRunner:
             cols.append(F.lit(1.0).alias("weight"))
         e = edges.select(*cols)
         if self._salting:
+            # salted hub keys live in the NEGATIVE id space — a graph that
+            # already uses negative ids would be silently corrupted (real
+            # negative ids get unsalted/recombined as hub partials). Fail
+            # loudly instead: one cheap agg over the raw edges, once per run.
+            row = e.agg(F.min("src").alias("_ms"), F.min("dst").alias("_md")).first()
+            lo = min(row["_ms"] or 0, row["_md"] or 0)
+            if lo < 0:
+                raise ValueError(
+                    f"hub salting requires non-negative vertex ids (found {lo}); "
+                    "disable salt_degree_threshold for graphs with negative ids"
+                )
             from pregel_golang_implementation_spark.sources.graphs import salt_hubs
 
             e, _hubs = salt_hubs(
@@ -125,6 +137,7 @@ class PregelRunner:
             )
         e = e.repartition(self.num_partitions, "src").persist()
         e.count()  # materialize once; every superstep reuses this layout
+        self._edges_cached = e  # tracked so run() can unpersist (no leak)
         return e
 
     @staticmethod
@@ -270,6 +283,27 @@ class PregelRunner:
                 edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
             )
         edges = self._prepare_edges(edges)
+        try:
+            return self._run_loop(
+                edges, vertices, state, start_superstep, max_steps
+            )
+        finally:
+            # a long-lived session runs many jobs through many runners —
+            # leaked edge caches accumulate dead blocks and evict useful
+            # ones. The result state is localCheckpointed before return, so
+            # it never depends on these blocks.
+            edges.unpersist()
+            self._edges_cached = None
+
+    def _run_loop(
+        self,
+        edges: DataFrame,
+        vertices: DataFrame | None,
+        state: DataFrame | None,
+        start_superstep: int,
+        max_steps: int,
+    ) -> PregelResult:
+        spec = self.spec
         if state is None:
             state = self._init_state(vertices)
         g = self._collect_globals(state)
@@ -347,6 +381,13 @@ class PregelRunner:
             self.checkpoint_every and step % self.checkpoint_every == 0
         ):
             self._write_checkpoint(state, step, metrics)
+        if prev_cached is not None:
+            # detach the result from the loop's cached blocks (and from the
+            # edge cache, unpersisted by run()'s finally): the eager copy is
+            # one pass over the final state, after which nothing the caller
+            # holds references runner-internal storage.
+            state = state.localCheckpoint(eager=True)
+            prev_cached.unpersist()
         return PregelResult(
             state=state, supersteps=step - start_superstep, converged=converged,
             metrics=metrics,
@@ -408,6 +449,22 @@ class PregelRunner:
         if found is None:
             return self.run(edges, max_supersteps=max_supersteps)
         step, manifest = found
+        # a checkpoint dir written by a DIFFERENT algorithm/spec would
+        # silently resume into wrong results — the manifest records
+        # everything needed to refuse (reference analogue: RESTART_STATE
+        # only ever restores the same hardcoded program, Worker.go:641-654;
+        # a multi-algorithm engine must check).
+        want = {
+            "algorithm": self.spec.name,
+            "params": json.loads(json.dumps(self.spec.params)),
+            "static_cols": list(self.spec.static_cols),
+        }
+        got = {k: manifest.get(k) for k in want}
+        if got != want:
+            raise ValueError(
+                f"checkpoint at {self.checkpoint_dir!r} was written by a "
+                f"different spec: manifest has {got}, runner has {want}"
+            )
         path = os.path.join(self.checkpoint_dir, f"step={step:06d}", "state")
         state = (
             self.spark.read.parquet(path)

@@ -155,17 +155,57 @@ def extract_import_edges(corpus: DataFrame) -> DataFrame:
     )
 
 
-def assign_vertex_ids(corpus: DataFrame) -> DataFrame:
+def assign_vertex_ids(corpus: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Deterministic dense long ids for (repo, path) — SURVEY.md §7 hard
-    part (d).  xxhash64 would be sparse/collision-prone at 10^12 files;
-    a global sort-based rank is deterministic and dense.  row_number over
-    an unpartitioned window is single-reducer — at true scale swap for
-    zipWithIndex-style per-partition offsets; at test scale this is exact
-    and deterministic, which correctness needs."""
-    w = Window.orderBy("repo", "path")
-    return corpus.select("repo", "path").distinct().withColumn(
-        "id", F.row_number().over(w).cast("long")
+    part (d).  xxhash64 would be sparse/collision-prone at 10^12 files; a
+    global sort-based rank is deterministic and dense.
+
+    Scale-safe zipWithIndex pattern (NO unpartitioned window — that is a
+    single-reducer global sort, THE driver-bottleneck equivalent at 10^12
+    files):
+      1. range-partition the distinct (repo, path) keys — partition i
+         holds strictly smaller keys than partition i+1, every partition
+         sorts in parallel;
+      2. one tiny pass collects per-partition row counts (one row per
+         partition — same footprint as the checkpoint lineage);
+      3. id = cumulative offset of the partition + rank within it.
+    The result equals the global (repo, path) rank regardless of where the
+    sampled range boundaries fall, so ids are deterministic (ids start at
+    1, matching the previous row_number implementation).
+
+    The keyed frame is persisted between the two passes (re-sampling range
+    boundaries on recompute could silently shift rows between partitions,
+    desynchronizing counts from assignment), and the result is eagerly
+    materialized so the intermediate cache can be released before return.
+    """
+    spark = corpus.sparkSession
+    n_parts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    keyed = (
+        corpus.select("repo", "path")
+        .distinct()
+        .repartitionByRange(n_parts, "repo", "path")
+        .sortWithinPartitions("repo", "path")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
+    counts = {
+        int(r["_pid"]): int(r["n"])
+        for r in keyed.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in range(max(counts, default=-1) + 1):
+        offsets.append((pid, acc))
+        acc += counts.get(pid, 0)
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy("repo", "path")
+    ids = (
+        keyed.join(F.broadcast(off_df), "_pid")
+        .withColumn("id", (F.row_number().over(w) + F.col("_off")).cast("long"))
+        .select("repo", "path", "id")
+        .localCheckpoint(eager=True)
+    )
+    keyed.unpersist()
+    return ids
 
 
 def corpus_edge_table(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -156,10 +156,13 @@ def salt_hubs(
 
 
 def unsalt_ids(df: DataFrame, id_col: str = "id", num_salts: int = 32) -> DataFrame:
-    """Map salted ids back: id < 0 → original hub id."""
+    """Map salted ids back: id < 0 → original hub id.  Pure integer
+    arithmetic (`div`) — float division loses integer precision past 2^53
+    (dst*num_salts > ~2.8e14 at 32 salts would silently corrupt ids)."""
     return df.withColumn(
         id_col,
         F.when(
-            F.col(id_col) < 0, (-(F.col(id_col) + 1) / num_salts).cast("long")
+            F.col(id_col) < 0,
+            F.expr(f"(-(`{id_col}` + 1L)) div {num_salts}L"),
         ).otherwise(F.col(id_col)),
     )

@@ -10,17 +10,20 @@ iterates over.  This module provides that via Structured Streaming:
   - ``edge_stream_ingest``: file-source stream → normalized edge rows →
     ``foreachBatch`` append with in-batch dedup, exactly-once per batch
     via the streaming checkpoint.
+  - ``compact_edge_table``: cross-batch dedup compaction of the streamed
+    table (atomic swap) — run periodically or before a big job.
   - ``windowed_event_stats``: watermarked tumbling-window aggregation
-    over an event stream (late data tolerated up to the watermark) —
-    the standard curation telemetry shape.
+    over an event stream (late data beyond the watermark dropped in
+    update mode) — the standard curation telemetry shape.
 
-Both are testable synchronously in local mode with
+All are testable synchronously in local mode with
 ``processAllAvailable()``.
 """
 
 from pregel_golang_implementation_spark.streaming.ingest import (
+    compact_edge_table,
     edge_stream_ingest,
     windowed_event_stats,
 )
 
-__all__ = ["edge_stream_ingest", "windowed_event_stats"]
+__all__ = ["compact_edge_table", "edge_stream_ingest", "windowed_event_stats"]

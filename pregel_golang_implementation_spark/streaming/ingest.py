@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -59,6 +61,34 @@ def edge_stream_ingest(
     return writer.start()
 
 
+def compact_edge_table(spark: SparkSession, table_dir: str) -> int:
+    """Cross-batch dedup compaction for the streamed edge table: rewrite
+    ``table_dir`` keeping one row per (src, dst) with the min weight
+    (matching ``edges_from_lineitem``'s deterministic-weight rule).
+
+    The streaming sink dedups only within a micro-batch; run this
+    periodically (or before a big job) to collapse duplicates across
+    batches.  Atomic swap: write to a sibling tmp dir, then replace —
+    readers never see a half-written table.  Returns the compacted row
+    count."""
+    import shutil
+
+    compacted = (
+        spark.read.parquet(table_dir)
+        .groupBy("src", "dst")
+        .agg(F.min("weight").alias("weight"))
+    )
+    tmp = table_dir.rstrip("/") + ".compact.tmp"
+    compacted.write.mode("overwrite").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    old = table_dir.rstrip("/") + ".compact.old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(table_dir, old)
+    os.rename(tmp, table_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    return n
+
+
 def windowed_event_stats(
     spark: SparkSession,
     input_dir: str,
@@ -66,10 +96,17 @@ def windowed_event_stats(
     window: str = "5 minutes",
     watermark: str = "10 minutes",
     query_name: str = "event_stats",
+    output_mode: str = "update",
 ):
     """Watermarked tumbling-window event aggregation (memory sink, for
-    local verification): (window, event_type, n, total_value).  Late rows
-    beyond the watermark are dropped — the standard late-data contract."""
+    local verification): (window, event_type, n, total_value).
+
+    Default ``update`` mode honors the late-data contract: rows later than
+    the watermark are dropped and finalized window state is evicted
+    (bounded state — the 100 TB requirement).  ``complete`` mode is also
+    accepted but NOTE: under complete mode Spark keeps all window state
+    forever and the watermark is inert (late rows are still aggregated) —
+    only use it for small verification runs."""
     stream = spark.readStream.schema(schema).parquet(input_dir)
     agg = (
         stream.withWatermark("ts", watermark)
@@ -77,7 +114,7 @@ def windowed_event_stats(
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
     )
     return (
-        agg.writeStream.outputMode("complete")
+        agg.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(query_name)
         .start()

@@ -22,7 +22,10 @@ from pregel_golang_implementation_spark.sources import load_reference_graph
 REF = "/root/reference/Test"
 
 
-@pytest.mark.parametrize("size", [100, 300])
+# every size the reference ships a golden for (Test/solution{N}.json);
+# 700 is the largest fixture (~342K edge entries) — the only one big
+# enough to cross partition boundaries in the 8-partition test session
+@pytest.mark.parametrize("size", [100, 200, 300, 500, 700])
 def test_sssp_matches_reference_goldens(spark, size):
     fixture = os.path.join(REF, f"SampleNodes{size}.json")
     golden_path = os.path.join(REF, f"solution{size}.json")
