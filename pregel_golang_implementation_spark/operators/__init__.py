@@ -2,6 +2,7 @@ from pregel_golang_implementation_spark.operators.pagerank import pagerank, page
 from pregel_golang_implementation_spark.operators.connected_components import (
     connected_components,
     cc_spec,
+    incremental_connected_components,
 )
 from pregel_golang_implementation_spark.operators.sssp import sssp, sssp_spec
 from pregel_golang_implementation_spark.operators.label_propagation import (
@@ -58,6 +59,7 @@ __all__ = [
     "pagerank_spec",
     "connected_components",
     "cc_spec",
+    "incremental_connected_components",
     "sssp",
     "sssp_spec",
     "label_propagation",

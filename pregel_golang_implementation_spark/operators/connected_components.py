@@ -66,3 +66,39 @@ def connected_components(
     und = symmetrize(edges)
     runner = PregelRunner(spark, cc_spec(max_supersteps), **runner_kwargs)
     return runner.run(und)
+
+
+def incremental_connected_components(
+    spark: SparkSession,
+    edges: DataFrame,
+    prior_labels: DataFrame,
+    max_supersteps: int = 100,
+    **runner_kwargs,
+) -> PregelResult:
+    """Maintain components as edges arrive (the streamed-ingest follow-up):
+    re-run hash-min over the FULL current edge table but seeded from the
+    previous labeling, so only regions the new edges actually bridge do
+    work — unaffected components converge in one superstep instead of
+    O(diameter).
+
+    ``prior_labels``: (id, value) from an earlier run.  Vertices absent
+    from it (newly arrived) start at their own id.  Correctness is
+    unconditional — hash-min converges to min-of-component from ANY upper
+    bound, and a prior label is an upper bound for the old graph and
+    therefore for the new graph, whose components only ever merge as
+    edges are added (edge deletions need a full re-run).
+    """
+    und = symmetrize(edges)
+    vertices = PregelRunner.vertices_from_edges(und)
+    seeded = (
+        vertices.join(
+            prior_labels.select("id", F.col("value").alias("_prior")), "id", "left"
+        )
+        .select(
+            F.col("id").cast("long"),
+            F.coalesce(F.col("_prior"), F.col("id")).cast("double").alias("value"),
+            F.lit(True).alias("active"),
+        )
+    )
+    runner = PregelRunner(spark, cc_spec(max_supersteps), **runner_kwargs)
+    return runner.run(und, state=seeded)

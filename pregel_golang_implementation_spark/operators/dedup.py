@@ -313,7 +313,9 @@ def near_dup_clusters(
     near_edges = verified.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     dup_graph = symmetrize(exact_edges.unionByName(near_edges))
     vertices = d.select(F.col("doc_id").alias("id"))
-    runner = PregelRunner(docs.sparkSession, cc_spec(max_supersteps=max_supersteps))
+    runner = PregelRunner(
+        docs.sparkSession, cc_spec(max_supersteps=max_supersteps), steps_per_action=2
+    )
     res = runner.run(dup_graph, vertices=vertices)
     return res.state.select(
         F.col("id").alias("doc_id"),

@@ -90,6 +90,7 @@ class PregelRunner:
         broadcast_frontier_threshold: int = 100_000,
         salt_degree_threshold: int | None = None,
         num_salts: int = 32,
+        steps_per_action: int = 1,
     ):
         self.spark = spark
         self.spec = spec
@@ -108,6 +109,18 @@ class PregelRunner:
         self.num_salts = num_salts
         self._salting = bool(salt_degree_threshold) and spec.recombine is not None
         self._edges_cached: DataFrame | None = None
+        # chain K supersteps into ONE job (each still reports exact
+        # metrics via its own Observation): the superstep barrier only
+        # needs an ACTION when the driver must read something between
+        # steps — with no global_aggs, nothing is read, so K steps can
+        # share one scheduler round-trip. At 1000 executors the per-job
+        # driver latency is the deep-iteration bottleneck; locally it is
+        # the small-graph floor (~1.5s/step). Convergence is still exact:
+        # steps chained past the fixed point are no-ops (empty frontier →
+        # no messages → no change) and are trimmed from the result.
+        if steps_per_action > 1 and spec.global_aggs:
+            steps_per_action = 1  # globals need a driver read every step
+        self.steps_per_action = max(1, steps_per_action)
 
     # ----------------------------------------------------------------- setup
 
@@ -312,37 +325,47 @@ class PregelRunner:
         metrics: list[SuperstepMetrics] = []
         step = start_superstep
         converged = False
+        last_ckpt_step = None
         prev_cached = None  # the previous superstep's persisted new_state
+        # persist keeps the hash(id) output partitioning visible to the
+        # planner (localCheckpoint would erase it and force a re-shuffle
+        # of state on every join). Metrics + global aggregates ride on
+        # the SAME materializing action via the Observation API — one
+        # job per block of supersteps, no second pass over state (the
+        # reference needs a whole master round-trip for this,
+        # Master.go:958-967).
+        agg_cols = [
+            F.sum(F.col("active").cast("long")).alias("_active"),
+            F.sum("_nmsg").alias("_msgs"),
+            F.max("_delta").alias("_maxdelta"),
+            F.count(F.lit(1)).alias("_n"),
+        ] + [c.alias(k) for k, c in spec.global_aggs.items()]
         while step - start_superstep < max_steps:
-            step += 1
-            t0 = time.monotonic()
-            # persist keeps the hash(id) output partitioning visible to the
-            # planner (localCheckpoint would erase it and force a re-shuffle
-            # of state on every join). Metrics + global aggregates ride on
-            # the SAME materializing action via the Observation API — one
-            # job per superstep, no second pass over state (the reference
-            # needs a whole master round-trip for this, Master.go:958-967).
-            agg_cols = [
-                F.sum(F.col("active").cast("long")).alias("_active"),
-                F.sum("_nmsg").alias("_msgs"),
-                F.max("_delta").alias("_maxdelta"),
-                F.count(F.lit(1)).alias("_n"),
-            ] + [c.alias(k) for k, c in spec.global_aggs.items()]
-            obs = Observation(f"superstep_{step}")
-            new_state = (
-                self._one_superstep(state, edges, g, prev_active)
-                .observe(obs, *agg_cols)
-                .persist()
+            k_steps = min(
+                self.steps_per_action, max_steps - (step - start_superstep)
             )
-            new_state.count()  # the BSP barrier action
-            row = obs.get
-            g = {k: row[k] for k in spec.global_aggs}
+            t0 = time.monotonic()
+            observations: list[Observation] = []
+            cur = state
+            for j in range(k_steps):
+                obs = Observation(f"superstep_{step + j + 1}")
+                full = self._one_superstep(
+                    cur, edges, g, prev_active if j == 0 else -1
+                ).observe(obs, *agg_cols)
+                observations.append(obs)
+                cur = full.select("id", *spec.static_cols, "value", "active")
+            new_state = cur.persist()
+            new_state.count()  # the BSP barrier action (one per block)
+            block_wall = time.monotonic() - t0
+            rows = [o.get for o in observations]
+            g = {k: rows[-1][k] for k in spec.global_aggs}
 
             if prev_cached is not None:
-                prev_cached.unpersist()  # previous step's blocks — now dead
+                prev_cached.unpersist()  # previous block's blocks — now dead
             prev_cached = new_state
-            state = new_state.select("id", *spec.static_cols, "value", "active")
-            if self.lineage_break_every and step % self.lineage_break_every == 0:
+            state = new_state
+            step += k_steps
+            if self.lineage_break_every and step % self.lineage_break_every < k_steps:
                 # lineage break: every superstep references the previous
                 # state TWICE (frontier join + apply join), so the analyzed
                 # plan tree DOUBLES per step — Catalyst analysis cost grows
@@ -356,30 +379,36 @@ class PregelRunner:
                 prev_cached.unpersist()
                 prev_cached = None
 
-            m = SuperstepMetrics(
-                superstep=step,
-                active_vertices=int(row["_active"] or 0),
-                messages_sent=int(row["_msgs"] or 0),
-                max_delta=float(row["_maxdelta"] or 0.0),
-                num_vertices=int(row["_n"]),
-                wall_secs=time.monotonic() - t0,
-                globals=dict(g),
-            )
-            metrics.append(m)
-            prev_active = m.active_vertices
+            for j, row in enumerate(rows):
+                m = SuperstepMetrics(
+                    superstep=step - k_steps + j + 1,
+                    active_vertices=int(row["_active"] or 0),
+                    messages_sent=int(row["_msgs"] or 0),
+                    max_delta=float(row["_maxdelta"] or 0.0),
+                    num_vertices=int(row["_n"]),
+                    wall_secs=block_wall / k_steps,
+                    globals=dict(g),
+                )
+                metrics.append(m)
+                if m.active_vertices == 0:
+                    # chained steps past the fixed point were no-ops (empty
+                    # frontier → no messages → identical state): report the
+                    # true convergence step and drop the no-op tail
+                    converged = True
+                    step = m.superstep
+                    break
+            prev_active = metrics[-1].active_vertices
 
             if self.checkpoint_dir and self.checkpoint_every and (
-                step % self.checkpoint_every == 0
+                step % self.checkpoint_every < k_steps
             ):
                 self._write_checkpoint(state, step, metrics)
+                last_ckpt_step = step
 
-            if m.active_vertices == 0:
-                converged = True
+            if converged:
                 break
 
-        if self.checkpoint_dir and not (
-            self.checkpoint_every and step % self.checkpoint_every == 0
-        ):
+        if self.checkpoint_dir and last_ckpt_step != step:
             self._write_checkpoint(state, step, metrics)
         if prev_cached is not None:
             # detach the result from the loop's cached blocks (and from the

@@ -31,6 +31,15 @@ def get_spark(
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     if shuffle_partitions is None:
         shuffle_partitions = max(8, cores)
+    # Shuffle/spill files on tmpfs when available: local-mode shuffles are
+    # disk-I/O-bound through one device, which neither speeds up nor
+    # scales with more threads; tmpfs measured +6-11% absolute and +0.03
+    # scaling efficiency (BENCH/BASELINE.md §2). On a real cluster the
+    # equivalent is pointing spark.local.dir at striped local NVMe.
+    # Override with SPARK_GRAFT_LOCAL_DIR (empty string disables).
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/pregel-spark-local"
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -45,6 +54,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

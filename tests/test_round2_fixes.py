@@ -239,6 +239,60 @@ def test_ann_candidates_cap(spark):
     assert len(report) == 1 and report[0]["n_vecs"] == 20
 
 
+# -------------------------------------------------- chained supersteps
+
+def test_chained_supersteps_identical(spark):
+    """steps_per_action>1 shares one job across supersteps but must be
+    bit-identical: same final state, same converged-step count, same
+    per-step metrics (each chained step reports via its own Observation)."""
+    edges = _chain_edges(spark, n=14)
+    r1 = PregelRunner(spark, cc_spec()).run(edges)
+    r2 = PregelRunner(spark, cc_spec(), steps_per_action=2).run(edges)
+    a = {r["id"]: r["value"] for r in r1.state.collect()}
+    b = {r["id"]: r["value"] for r in r2.state.collect()}
+    assert a == b
+    assert r1.supersteps == r2.supersteps and r2.converged
+    m1 = [(m.superstep, m.active_vertices, m.messages_sent) for m in r1.metrics]
+    m2 = [(m.superstep, m.active_vertices, m.messages_sent) for m in r2.metrics]
+    assert m1 == m2
+    # fixed-iteration mode stops at exactly max_supersteps
+    f2 = PregelRunner(spark, cc_spec(), steps_per_action=2).run(edges, max_supersteps=3)
+    assert f2.supersteps == 3
+    # specs with global aggregates silently fall back to one job per step
+    from pregel_golang_implementation_spark.operators.pagerank import pagerank_spec
+
+    assert PregelRunner(spark, pagerank_spec(10), steps_per_action=2).steps_per_action == 1
+
+
+# ------------------------------------------------------- incremental CC
+
+def test_incremental_cc_matches_full_recompute(spark):
+    from pregel_golang_implementation_spark.operators.connected_components import (
+        connected_components,
+        incremental_connected_components,
+    )
+
+    old_edges = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (10, 11, 1.0), (20, 21, 1.0)],
+        "src long, dst long, weight double",
+    )
+    prior = connected_components(spark, old_edges).state.select("id", "value")
+    # a new batch bridges components {10,11} and {20,21}, adds vertex 30
+    new_edges = old_edges.union(
+        spark.createDataFrame(
+            [(11, 20, 1.0), (30, 21, 1.0)], "src long, dst long, weight double"
+        )
+    )
+    inc = incremental_connected_components(spark, new_edges, prior)
+    full = connected_components(spark, new_edges)
+    a = {r["id"]: r["value"] for r in inc.state.collect()}
+    b = {r["id"]: r["value"] for r in full.state.collect()}
+    assert a == b
+    assert a[30] == 10.0  # new vertex joined the merged component
+    # seeded run must not need more supersteps than the full recompute
+    assert inc.supersteps <= full.supersteps
+
+
 # ----------------------------------------------------- streaming round 2
 
 def test_compact_edge_table_cross_batch_dedup(spark, tmp_path):

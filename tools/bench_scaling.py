@@ -67,8 +67,13 @@ def run_worker(cores: int, num_vertices: int, avg_degree: int, supersteps: int) 
     from pregel_golang_implementation_spark.plans.runner import PregelRunner
     from pregel_golang_implementation_spark.session import get_spark
 
+    # config A/B hook: PREGEL_BENCH_CONF='{"spark.io.compression.codec":"zstd"}'
+    extra = json.loads(os.environ.get("PREGEL_BENCH_CONF", "{}"))
     spark = get_spark(
-        app_name=f"scaling-{cores}", cores=cores, shuffle_partitions=NUM_PARTITIONS
+        app_name=f"scaling-{cores}",
+        cores=cores,
+        shuffle_partitions=NUM_PARTITIONS,
+        extra_conf=extra,
     )
     pr_edges = spark.read.parquet(os.path.join(GRAPH_DIR, "pr_edges"))
     vertices = spark.read.parquet(os.path.join(GRAPH_DIR, "vertices"))
