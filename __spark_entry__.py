@@ -45,6 +45,7 @@ from pregel_golang_implementation_spark.operators.pagerank import (
 from pregel_golang_implementation_spark.operators.similarity import (
     ann_candidates,
     cosine_topk,
+    embedding_near_dups,
     srp_buckets,
 )
 from pregel_golang_implementation_spark.operators.sssp import sssp_spec
@@ -287,6 +288,14 @@ def q_ann_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_candidates(_emb(spark, sf_dir), bits=8)
 
 
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: SRP candidates verified with exact
+    cosine ≥ threshold (never corpus × corpus)."""
+    return embedding_near_dups(
+        _emb(spark, sf_dir), threshold=0.2, bits=8, round_to=5
+    )
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -327,6 +336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_candidates": q_jaccard_candidates,
         "dedup_resolve": q_dedup_resolve,
         "ann_candidates": q_ann_candidates,
+        "embedding_near_dups": q_embedding_near_dups,
     }
 
 
@@ -607,6 +617,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": (
             "SELECT doc_id, "
             "len(regexp_split_to_array(trim(lower(text)), '\\s+'))::BIGINT AS n_tokens, "
+            "len(regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]+'))::BIGINT AS n_subtokens, "
             "length(text)::BIGINT AS n_chars, "
             "octet_length(encode(text))::BIGINT AS n_bytes FROM documents"
         ),
@@ -631,7 +642,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM bk a "
             "JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id"
         ),
+        "embedding_near_dups": _embedding_near_dups_sql(threshold=0.2),
     }
+
+
+def _embedding_near_dups_sql(threshold: float) -> str:
+    dot = "list_aggregate([va[i]::DOUBLE * vb[i]::DOUBLE for i in generate_series(1, len(va))], 'sum')"
+    na = "sqrt(list_aggregate([va[i]::DOUBLE * va[i]::DOUBLE for i in generate_series(1, len(va))], 'sum'))"
+    nb = "sqrt(list_aggregate([vb[i]::DOUBLE * vb[i]::DOUBLE for i in generate_series(1, len(vb))], 'sum'))"
+    return (
+        "WITH bk AS (" + _srp_sql() + "), "
+        "cand AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM bk a "
+        "JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id), "
+        "pairs AS (SELECT vec_a, vec_b, ea.embedding AS va, eb.embedding AS vb "
+        "FROM cand JOIN embeddings ea ON ea.vec_id = vec_a "
+        "JOIN embeddings eb ON eb.vec_id = vec_b), "
+        "sim AS (SELECT vec_a, vec_b, "
+        f"CAST(ROUND({dot} / ({na} * {nb}), 5) AS DOUBLE) AS sim FROM pairs) "
+        f"SELECT vec_a, vec_b, sim FROM sim WHERE sim >= {threshold}"
+    )
 
 
 def _quality_sql() -> str:

@@ -27,6 +27,7 @@ from pregel_golang_implementation_spark.operators.similarity import (
     ann_candidates,
     ann_topk,
     cosine_topk,
+    embedding_near_dups,
     oversized_srp_buckets,
     srp_buckets,
 )
@@ -49,6 +50,7 @@ __all__ = [
     "ann_candidates",
     "ann_topk",
     "cosine_topk",
+    "embedding_near_dups",
     "oversized_srp_buckets",
     "srp_buckets",
     "fingerprint",

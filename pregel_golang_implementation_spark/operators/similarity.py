@@ -123,6 +123,37 @@ def ann_candidates(
     )
 
 
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
+    round_to: int | None = None,
+) -> DataFrame:
+    """(vec_a, vec_b, sim) — embedding-cosine near-duplicates: SRP-LSH
+    candidate pairs (sub-quadratic, optionally occupancy-capped) verified
+    with exact cosine ≥ ``threshold``.  The candidates-then-verify shape
+    of MinHash dedup, applied to the embedding column: the exact cosine
+    runs only on in-bucket pairs, never corpus × corpus."""
+    cand = ann_candidates(
+        embeddings, bits=bits, id_col=id_col, vec_col=vec_col,
+        max_bucket_size=max_bucket_size,
+    )
+    va = embeddings.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va"))
+    vb = embeddings.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"))
+    sim = cosine_similarity(F.col("_va"), F.col("_vb"))
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def oversized_srp_buckets(
     embeddings: DataFrame,
     bits: int = 8,

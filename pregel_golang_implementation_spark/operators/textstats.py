@@ -24,12 +24,22 @@ def _tokens(text_col: str) -> Column:
     return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
 
 
+# BPE-style pre-tokenizer approximation: letter runs, digit runs, and
+# punctuation runs are separate tokens (what GPT-2-ish pre-tokenization
+# yields before the merges) — RE2/Java-portable so the oracle is exact
+BPE_ISH_RE = r"\p{L}+|\p{N}+|[^\p{L}\p{N}\s]+"
+
+
 def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, n_tokens, n_chars, n_bytes) — whitespace tokenization +
+    """(doc_id, n_tokens, n_subtokens, n_chars, n_bytes) — whitespace
+    tokenization, BPE-ish pre-token count (letter/digit/punct runs), and
     byte length (the multimodal-adjacent 'how big is this really')."""
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(_tokens(text_col)).cast("long").alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_subtokens"),
         F.length(F.col(text_col)).cast("long").alias("n_chars"),
         F.octet_length(F.col(text_col)).cast("long").alias("n_bytes"),
     )
