@@ -118,15 +118,23 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     """(doc_id, fp_norm, fp_min_shingle) — two document fingerprints:
     md5 of whitespace-normalized lowercase text (exact-ish dedup key) and
     the minimum md5 over 8-char character shingles (winnowing-style
-    robust fingerprint)."""
-    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    robust fingerprint).
+
+    The normalized text is materialized in its own projection first —
+    inlined, the regexp_replace would re-run inside every 8-char window's
+    substr (hundreds of regex passes per document)."""
+    normed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ").alias("_norm"),
+    )
+    norm = F.col("_norm")
     n = F.length(norm)
     shingle_hashes = F.transform(
         F.sequence(F.lit(1), F.greatest(n - 7, F.lit(1))),
         lambda i: F.md5(norm.substr(i, F.lit(8))),
     )
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
+    return normed.select(
+        "doc_id",
         F.md5(norm).alias("fp_norm"),
         F.array_min(shingle_hashes).alias("fp_min_shingle"),
     )

@@ -54,6 +54,19 @@ def main() -> None:
     state = runner._init_state(vertices)
     step = runner._one_superstep(state, e, {"dangling_mass": 0.0}, -1)
     sections.append(("one PageRank superstep (scatter ⋈ + combine agg + apply ⋈)", grab(step)))
+
+    # 2b. two CHAINED supersteps in one job (steps_per_action=2, used for
+    # combiner-only algorithms): two combine exchanges, one action — the
+    # scheduler round-trip between them is gone
+    from pregel_golang_implementation_spark.operators.connected_components import (
+        cc_spec,
+    )
+
+    cc_runner = PregelRunner(spark, cc_spec(), steps_per_action=2)
+    cc_state = cc_runner._init_state(runner.vertices_from_edges(e))
+    s1 = cc_runner._one_superstep(cc_state, e, {}, -1).select("id", "value", "active")
+    s2 = cc_runner._one_superstep(s1, e, {}, -1).select("id", "value", "active")
+    sections.append(("two chained supersteps, one job (steps_per_action=2)", grab(s2)))
     e.unpersist()
 
     # 3. scale-safe vertex-id assignment: the window is partitioned by
