@@ -376,22 +376,24 @@ def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text", id_col: str
     (each hex digit's high bit is an independent fair coin).  The document
     bit is the sign of Σ(±1) over tokens.  All string/CASE expressions —
     mirrorable in the DuckDB oracle.  bits ≤ 32 (md5 has 32 hex digits).
-    """
+
+    Shape: the per-bit ±1 sums are `bits` SUM-aggregate columns over ONE
+    pass of the token rows (the bit explode would shuffle bits× the rows
+    through the aggregate for identical integer sums)."""
     assert bits <= 32
     toks = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(_tokens(text_col)).alias("tok")
-    ).withColumn("h", F.md5(F.col("tok")))
-    j = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j")
-    votes = toks.select("doc_id", "h", j).select(
-        "doc_id",
-        "j",
-        F.when(
-            F.substring(F.col("h"), F.col("j") + 1, 1).isin(*list("89abcdef")), 1
-        ).otherwise(-1).alias("v"),
+    ).select("doc_id", F.md5(F.col("tok")).alias("h"))
+    vote = lambda j: F.when(  # noqa: E731
+        F.substring(F.col("h"), j + 1, 1).isin(*list("89abcdef")), 1
+    ).otherwise(-1)
+    bitsums = toks.groupBy("doc_id").agg(
+        *[F.sum(vote(j)).alias(f"_s{j}") for j in range(bits)]
     )
-    bitsum = votes.groupBy("doc_id", "j").agg(F.sum("v").alias("s"))
-    return bitsum.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") >= 0, F.pow(F.lit(2.0), F.col("j"))).otherwise(F.lit(0.0))
-        ).cast("long").alias("simhash")
+    return bitsums.select(
+        "doc_id",
+        sum(
+            F.when(F.col(f"_s{j}") >= 0, F.lit(float(2**j))).otherwise(F.lit(0.0))
+            for j in range(bits)
+        ).cast("long").alias("simhash"),
     )

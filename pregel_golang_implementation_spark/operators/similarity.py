@@ -65,30 +65,30 @@ def srp_buckets(
     dims = embeddings.select(
         F.col(id_col).alias("vec_id"), F.posexplode(F.col(vec_col)).alias("d", "x")
     )
-    b = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
-    proj = dims.select("vec_id", "d", "x", b).select(
-        "vec_id",
-        "b",
-        (
-            F.col("x").cast("double")
-            * F.when(
-                F.substring(
-                    F.md5(F.concat(F.col("b").cast("string"), F.lit("_"), F.col("d").cast("string"))),
-                    1,
-                    1,
-                ).isin(*list("01234567")),
-                -1.0,
-            ).otherwise(1.0)
-        ).alias("wx"),
-    )
-    # round before the sign test: the projection sum is order-dependent in
+
+    def wx(b: int):
+        # weight(b, d) = ±1 from md5("b_d") — deterministic, engine-portable
+        return F.col("x").cast("double") * F.when(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{b}_"), F.col("d").cast("string"))), 1, 1
+            ).isin(*list("01234567")),
+            -1.0,
+        ).otherwise(1.0)
+
+    # the `bits` projections are SUM-aggregate columns over one pass of
+    # the (vec, dim) rows — a bit explode would shuffle bits× the rows.
+    # Round before the sign test: the projection sum is order-dependent in
     # the last ulps; rounding makes the bucket bit reproducible across
-    # engines/partitionings
-    sums = proj.groupBy("vec_id", "b").agg(F.round(F.sum("wx"), 6).alias("s"))
-    return sums.groupBy("vec_id").agg(
-        F.sum(
-            F.when(F.col("s") >= 0, F.pow(F.lit(2.0), F.col("b"))).otherwise(F.lit(0.0))
-        ).cast("long").alias("bucket")
+    # engines/partitionings.
+    sums = dims.groupBy("vec_id").agg(
+        *[F.round(F.sum(wx(b)), 6).alias(f"_s{b}") for b in range(bits)]
+    )
+    return sums.select(
+        "vec_id",
+        sum(
+            F.when(F.col(f"_s{b}") >= 0, F.lit(float(2**b))).otherwise(F.lit(0.0))
+            for b in range(bits)
+        ).cast("long").alias("bucket"),
     )
 
 

@@ -49,12 +49,17 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     """(doc_id, stopword_ratio, mean_token_len, alnum_ratio, quality) —
     length/punct/stopword quality heuristics (Gopher-rules-style).
     quality = 1 if all three gates pass."""
-    toks = _tokens(text_col)
     all_stop = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+    toked = docs.select(
+        F.col(id_col).alias(id_col),
+        F.col(text_col).alias(text_col),
+        _tokens(text_col).alias("_toks"),  # own projection: split runs once
+    )
+    toks = F.col("_toks")
     n_tok = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda t: t.isin(all_stop)))
     alnum = F.length(F.regexp_replace(F.col(text_col), r"[^\p{L}\p{N}]", ""))
-    return docs.select(
+    return toked.select(
         F.col(id_col).alias("doc_id"),
         F.round(n_stop / F.greatest(n_tok, F.lit(1)), 6).alias("stopword_ratio"),
         F.round(
@@ -79,12 +84,15 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     """(doc_id, lang_guess, lang_hits) — argmax over per-language
     function-word hit counts; ties → lexicographically smallest language
     code; no hits → 'und'."""
-    toks = _tokens(text_col)
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"), _tokens(text_col).alias("_toks")
+    )  # own projection: the split would otherwise re-run per language
+    toks = F.col("_toks")
     hit_cols = [
         F.size(F.filter(toks, lambda t: t.isin(LANG_MARKERS[lang]))).alias(f"_h_{lang}")
         for lang in sorted(LANG_MARKERS)
     ]
-    scored = docs.select(F.col(id_col).alias("doc_id"), *hit_cols)
+    scored = toked.select("doc_id", *hit_cols)
     pairs = F.array(
         *[
             F.struct(

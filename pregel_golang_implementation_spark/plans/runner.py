@@ -107,7 +107,9 @@ class PregelRunner:
         # non-negative vertex ids (the salted key space is negative).
         self.salt_degree_threshold = salt_degree_threshold
         self.num_salts = num_salts
-        self._salting = bool(salt_degree_threshold) and spec.recombine is not None
+        self._salting = bool(salt_degree_threshold) and (
+            spec.recombine is not None or spec.salted_combine is not None
+        )
         self._edges_cached: DataFrame | None = None
         # chain K supersteps into ONE job (each still reports exact
         # metrics via its own Observation): the superstep barrier only
@@ -217,19 +219,26 @@ class PregelRunner:
             )
         )
         # combine: sender-side partial agg + final agg — the exchange shuffle
-        combined = spec.combine(msgs)
         if self._salting:
-            # hub inboxes were split across num_salts reducer keys (negative
-            # id space); merge the partials algebraically. Non-hub rows pass
-            # through untouched — only the (few) hub partials re-shuffle.
             from pregel_golang_implementation_spark.sources.graphs import unsalt_ids
 
-            hub_partials = unsalt_ids(
-                combined.filter(F.col("id") < 0), id_col="id", num_salts=self.num_salts
-            )
-            combined = combined.filter(F.col("id") >= 0).unionByName(
-                spec.recombine(hub_partials)
-            )
+            unsalt = lambda df: unsalt_ids(df, id_col="id", num_salts=self.num_salts)  # noqa: E731
+            if spec.salted_combine is not None:
+                # non-algebraic combiner (mode): the spec owns the whole
+                # salted combine, carrying count partials across unsalt
+                combined = spec.salted_combine(msgs, unsalt)
+            else:
+                # algebraic combiner: hub inboxes were split across
+                # num_salts reducer keys (negative id space); merge the
+                # partials. Non-hub rows pass through untouched — only
+                # the (few) hub partials re-shuffle.
+                combined = spec.combine(msgs)
+                hub_partials = unsalt(combined.filter(F.col("id") < 0))
+                combined = combined.filter(F.col("id") >= 0).unionByName(
+                    spec.recombine(hub_partials)
+                )
+        else:
+            combined = spec.combine(msgs)
 
         # apply: fold inbox into state (replaces Vertex.go:68-88); both
         # sides partitioned by id → shuffle-hash, no sort

@@ -76,6 +76,30 @@ def combine_mode(msgs: DataFrame) -> DataFrame:
     )
 
 
+def salted_combine_mode(msgs: DataFrame, unsalt) -> DataFrame:
+    """Hub-salted mode combine (LPA).  Mode is NOT algebraic — merging two
+    groups' winners loses the counts — so the salted path must carry
+    (label, count) PARTIALS across the unsalt boundary, not winners:
+
+      1. count labels per SALTED key — the heavy message shuffle, with a
+         hub's inbox split across its salt replicas;
+      2. unsalt and re-sum counts per real (id, label) — cardinality is
+         distinct-labels-per-vertex, orders of magnitude below the inbox;
+      3. argmax with the deterministic smallest-label tie-break.
+
+    ``unsalt`` maps salted ids back (provided by the runner)."""
+    counts = msgs.groupBy("id", "msg").agg(F.count(F.lit(1)).alias("cnt"))
+    merged = unsalt(counts).groupBy("id", "msg").agg(F.sum("cnt").alias("cnt"))
+    per_id = Window.partitionBy("id")
+    order = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("msg"))
+    return (
+        merged.withColumn("msg_count", F.sum("cnt").over(per_id))
+        .withColumn("_rn", F.row_number().over(order))
+        .filter(F.col("_rn") == 1)
+        .select("id", "msg", "msg_count")
+    )
+
+
 def recombine_min(partials: DataFrame) -> DataFrame:
     """Algebraic merge of combine_min partials (salted-hub re-merge)."""
     return partials.groupBy("id").agg(
@@ -123,7 +147,14 @@ class AlgorithmSpec:
     # Re-merge function for salted hub partials: DataFrame(id, msg,
     # msg_count) with several rows per hub id -> one row per id.  Must be
     # the algebraic merge of `combine` (min→min, sum→sum).  None ⇒ the
-    # combiner is not algebraic (e.g. mode) and hub salting is disabled.
+    # combiner is not algebraic (e.g. mode); hub salting then requires
+    # `salted_combine` instead.
     recombine: Optional[CombineFn] = None
+    # Full replacement of the combine stage under salting, for combiners
+    # whose winners can't be merged (mode): (msgs-with-salted-ids,
+    # unsalt_fn) -> combined (id, msg, msg_count) on REAL ids, carrying
+    # whatever partials the combiner needs across the unsalt boundary
+    # (see salted_combine_mode).  Takes precedence over recombine.
+    salted_combine: Optional[Callable[[DataFrame, Callable], DataFrame]] = None
     max_supersteps: int = 200
     params: dict = field(default_factory=dict)

@@ -264,6 +264,33 @@ def test_chained_supersteps_identical(spark):
     assert PregelRunner(spark, pagerank_spec(10), steps_per_action=2).steps_per_action == 1
 
 
+# ----------------------------------------------------------- LPA salting
+
+def test_lpa_hub_salting_matches_unsalted(spark):
+    """Mode is not algebraic, so LPA salting routes (label, count)
+    partials across the unsalt boundary (salted_combine_mode). On a hub
+    graph the salted run must give bit-identical labels."""
+    from pregel_golang_implementation_spark.operators.label_propagation import (
+        label_propagation,
+    )
+
+    rows = [(i, 0, 1.0) for i in range(1, 40)]  # hub 0 with in-degree 39
+    rows += [(40 + i, 40 + ((i + 1) % 5), 1.0) for i in range(5)]  # a 5-cycle
+    edges = spark.createDataFrame(rows, "src long, dst long, weight double")
+    plain = label_propagation(spark, edges, max_supersteps=4)
+    salted = label_propagation(
+        spark, edges, max_supersteps=4, salt_degree_threshold=10, num_salts=4
+    )
+    a = {r["id"]: r["value"] for r in plain.state.collect()}
+    b = {r["id"]: r["value"] for r in salted.state.collect()}
+    assert a == b
+    assert plain.supersteps == salted.supersteps
+    # per-step message counts must also agree (count partials preserved)
+    assert [m.messages_sent for m in plain.metrics] == [
+        m.messages_sent for m in salted.metrics
+    ]
+
+
 # ------------------------------------------------------- incremental CC
 
 def test_incremental_cc_matches_full_recompute(spark):

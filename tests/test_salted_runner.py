@@ -65,8 +65,15 @@ def test_salted_pagerank_allclose(spark):
         assert b[k] == pytest.approx(a[k], abs=1e-9)
 
 
-def test_salting_disabled_for_non_algebraic_combiner(spark):
+def test_salting_enablement_rules(spark):
+    import dataclasses
+
     from pregel_golang_implementation_spark.operators.label_propagation import lpa_spec
 
+    # mode combine is not algebraic, but LPA now ships a salted_combine
+    # that carries (label, count) partials — salting is available
     runner = PregelRunner(spark, lpa_spec(), salt_degree_threshold=50)
-    assert runner._salting is False  # mode combine has no recombine
+    assert runner._salting is True
+    # a spec with NEITHER recombine NOR salted_combine cannot salt
+    bare = dataclasses.replace(lpa_spec(), recombine=None, salted_combine=None)
+    assert PregelRunner(spark, bare, salt_degree_threshold=50)._salting is False
