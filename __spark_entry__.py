@@ -288,6 +288,16 @@ def q_ann_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_candidates(_emb(spark, sf_dir), bits=8)
 
 
+def q_pagerank_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k report surface (SURVEY.md §2.2 sorts/limits): highest-rank
+    vertices after PR_ITERS supersteps, deterministic tie-break by id."""
+    return (
+        q_pagerank(spark, sf_dir)
+        .orderBy(F.desc("rank"), F.asc("id"))
+        .limit(10)
+    )
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: SRP candidates verified with exact
     cosine ≥ threshold (never corpus × corpus)."""
@@ -337,6 +347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_resolve": q_dedup_resolve,
         "ann_candidates": q_ann_candidates,
         "embedding_near_dups": q_embedding_near_dups,
+        "pagerank_top10": q_pagerank_top10,
     }
 
 
@@ -643,6 +654,11 @@ def oracle_sql() -> dict[str, str]:
             "JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id"
         ),
         "embedding_near_dups": _embedding_near_dups_sql(threshold=0.2),
+        "pagerank_top10": (
+            "SELECT * FROM ("
+            + _pagerank_sql(PR_ITERS)
+            + ") ORDER BY rank DESC, id ASC LIMIT 10"
+        ),
     }
 
 

@@ -23,7 +23,13 @@ All are testable synchronously in local mode with
 from pregel_golang_implementation_spark.streaming.ingest import (
     compact_edge_table,
     edge_stream_ingest,
+    streaming_dedup_docs,
     windowed_event_stats,
 )
 
-__all__ = ["compact_edge_table", "edge_stream_ingest", "windowed_event_stats"]
+__all__ = [
+    "compact_edge_table",
+    "edge_stream_ingest",
+    "streaming_dedup_docs",
+    "windowed_event_stats",
+]

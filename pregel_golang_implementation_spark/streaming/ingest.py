@@ -89,6 +89,69 @@ def compact_edge_table(spark: SparkSession, table_dir: str) -> int:
     return n
 
 
+def streaming_dedup_docs(
+    spark: SparkSession,
+    input_dir: str,
+    schema: T.StructType,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_name: str = "stream_dedup",
+):
+    """Cross-batch STREAMING exact dedup as a custom stateful operator
+    (``applyInPandasWithState``): per content-hash state counts how many
+    copies have been seen across all batches; a document is emitted only
+    the first time its content appears, ever (min id within the first
+    batch for determinism).
+
+    This is the dedup-on-ingest complement to ``compact_edge_table``'s
+    dedup-on-read: arriving duplicates never land downstream at all.
+    State is one counter per distinct content hash — bounded by the
+    number of DISTINCT documents, and keyed by the same md5 the batch
+    engine's ``exact_duplicates`` uses.  (Spark's built-in streaming
+    ``dropDuplicates`` could express emit-first-ever too; the explicit
+    GroupState form is the extension point for richer policies — keep-
+    shortest, quality-gated, count-weighted — that built-ins cannot.)
+
+    Memory sink for local verification; returns the started query.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    keyed = stream.withColumn("_h", F.md5(F.col(text_col)))
+
+    def emit_first(key, pdf_iter, state):
+        import pandas as pd
+
+        seen = state.get[0] if state.exists else 0
+        best = None  # min-id row of THIS batch, only relevant if seen == 0
+        n_batch = 0
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            n_batch += len(pdf)
+            if seen == 0:
+                cand = pdf.sort_values(id_col).iloc[[0]]
+                if best is None or cand[id_col].iloc[0] < best[id_col].iloc[0]:
+                    best = cand
+        state.update((seen + n_batch,))
+        if seen == 0 and best is not None:
+            yield best[[id_col, text_col]]
+
+    out = keyed.groupBy("_h").applyInPandasWithState(
+        emit_first,
+        outputStructType=f"{id_col} long, {text_col} string",
+        stateStructType="seen long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
 def windowed_event_stats(
     spark: SparkSession,
     input_dir: str,

@@ -339,6 +339,38 @@ def test_compact_edge_table_cross_batch_dedup(spark, tmp_path):
     assert rows == {(1, 2, 1.0), (2, 3, 1.0), (4, 5, 2.0)}
 
 
+def test_streaming_dedup_emits_first_ever_only(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): per content-hash
+    state survives across micro-batches — a duplicate arriving in a LATER
+    batch is suppressed, not just within-batch."""
+    from pyspark.sql import types as T
+
+    from pregel_golang_implementation_spark.streaming import streaming_dedup_docs
+
+    src = str(tmp_path / "doc_stream")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("text", T.StringType(), False),
+        ]
+    )
+    spark.createDataFrame(
+        [(1, "alpha beta"), (0, "alpha beta"), (2, "gamma delta")],
+        "doc_id long, text string",
+    ).write.parquet(src + "/b1")
+    q = streaming_dedup_docs(spark, src + "/*", schema, query_name="sd_test")
+    q.processAllAvailable()
+    # batch 2: a cross-batch duplicate of "alpha beta" + one new doc
+    spark.createDataFrame(
+        [(7, "alpha beta"), (9, "epsilon zeta")], "doc_id long, text string"
+    ).write.parquet(src + "/b2")
+    q.processAllAvailable()
+    q.stop()
+    rows = {r["doc_id"]: r["text"] for r in spark.sql("SELECT * FROM sd_test").collect()}
+    # min id wins within the first batch; later duplicates never emitted
+    assert rows == {0: "alpha beta", 2: "gamma delta", 9: "epsilon zeta"}
+
+
 def test_windowed_stats_drops_late_rows(spark, tmp_path):
     """update mode + watermark: rows later than the watermark are dropped
     (the late-data contract the docstring promises)."""

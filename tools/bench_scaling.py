@@ -170,7 +170,9 @@ def orchestrate(
         "pass": eff >= 0.8,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+    # write to *_latest — BENCH/BASELINE.md and the per-round scaling_rN
+    # files are curated by hand and must not be clobbered by a re-run
+    with open(os.path.join(REPO, "BENCH", "scaling_latest.json"), "w") as f:
         json.dump(report, f, indent=2)
     md = f"""# BENCH/BASELINE.md — measured throughput + scaling efficiency
 
@@ -196,7 +198,7 @@ Throughput definition (BASELINE.md): edges/sec = directed edges ×
 supersteps executed / wall seconds.  Raw numbers: `BENCH/scaling.json`.
 Reproduce: `python tools/bench_scaling.py {n_cores} {num_vertices} {avg_degree} {supersteps}`.
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", "scaling_latest.md"), "w") as f:
         f.write(md)
     print(md)
 
