@@ -288,6 +288,25 @@ def q_ann_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_candidates(_emb(spark, sf_dir), bits=8)
 
 
+def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (teleport to the min-orderkey vertex),
+    PR_ITERS supersteps."""
+    from pregel_golang_implementation_spark.operators.pagerank import (
+        personalized_pagerank_spec,
+    )
+
+    edges = edges_from_lineitem(spark, sf_dir)
+    pr_edges, vertices = prepare_pagerank_graph(edges)
+    src = _sssp_source(spark, sf_dir)
+    vertices = vertices.withColumn(
+        "p", F.when(F.col("id") == src, F.lit(1.0)).otherwise(F.lit(0.0))
+    )
+    res = _runner(spark, personalized_pagerank_spec(damping=0.85, tol=1e-12)).run(
+        pr_edges, vertices=vertices, max_supersteps=PR_ITERS
+    )
+    return res.state.select("id", F.round(F.col("value"), 6).alias("rank"))
+
+
 def q_pagerank_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k report surface (SURVEY.md §2.2 sorts/limits): highest-rank
     vertices after PR_ITERS supersteps, deterministic tie-break by id."""
@@ -348,6 +367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_candidates": q_ann_candidates,
         "embedding_near_dups": q_embedding_near_dups,
         "pagerank_top10": q_pagerank_top10,
+        "personalized_pagerank": q_ppr,
     }
 
 
@@ -389,6 +409,40 @@ def _pagerank_sql(iters: int, damping: float = 0.85) -> str:
             f"s{k} AS (SELECT v.id, (1 - {damping}) / (SELECT n FROM nn) + "
             f"{damping} * (COALESCE(m{k}.s, 0) + (SELECT dm FROM d{k}) / (SELECT n FROM nn)) AS r "
             f"FROM v LEFT JOIN m{k} ON v.id = m{k}.id)"
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT id, CAST(ROUND(r, 6) AS DOUBLE) AS rank FROM s{iters}"
+    )
+
+
+def _ppr_sql(iters: int, damping: float = 0.85) -> str:
+    """Oracle twin of q_ppr: same recurrence with teleport vector p
+    concentrated on the min-orderkey vertex; dangling mass teleports to p."""
+    parts = [
+        _E,
+        _V,
+        "deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src)",
+        "src0 AS (SELECT MIN(l_orderkey) AS s FROM lineitem)",
+        "pv AS (SELECT id, CASE WHEN id = (SELECT s FROM src0) THEN 1.0 ELSE 0.0 END AS p FROM v)",
+        "s0 AS (SELECT id, p AS r FROM pv)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"s{k - 1}"
+        parts.append(
+            f"d{k} AS (SELECT COALESCE(SUM(p.r), 0) AS dm FROM {p} p "
+            f"LEFT JOIN deg ON p.id = deg.src WHERE deg.src IS NULL)"
+        )
+        parts.append(
+            f"m{k} AS (SELECT e.dst AS id, SUM(p.r / deg.outdeg) AS s "
+            f"FROM {p} p JOIN e ON p.id = e.src JOIN deg ON deg.src = e.src "
+            f"GROUP BY e.dst)"
+        )
+        parts.append(
+            f"s{k} AS (SELECT pv.id, (1 - {damping}) * pv.p + "
+            f"{damping} * (COALESCE(m{k}.s, 0) + (SELECT dm FROM d{k}) * pv.p) AS r "
+            f"FROM pv LEFT JOIN m{k} ON pv.id = m{k}.id)"
         )
     return (
         "WITH "
@@ -659,6 +713,7 @@ def oracle_sql() -> dict[str, str]:
             + _pagerank_sql(PR_ITERS)
             + ") ORDER BY rank DESC, id ASC LIMIT 10"
         ),
+        "personalized_pagerank": _ppr_sql(PR_ITERS),
     }
 
 

@@ -1,4 +1,9 @@
-from pregel_golang_implementation_spark.operators.pagerank import pagerank, pagerank_spec
+from pregel_golang_implementation_spark.operators.pagerank import (
+    pagerank,
+    pagerank_spec,
+    personalized_pagerank,
+    personalized_pagerank_spec,
+)
 from pregel_golang_implementation_spark.operators.connected_components import (
     connected_components,
     cc_spec,
@@ -59,6 +64,8 @@ __all__ = [
     "token_stats",
     "pagerank",
     "pagerank_spec",
+    "personalized_pagerank",
+    "personalized_pagerank_spec",
     "connected_components",
     "cc_spec",
     "incremental_connected_components",

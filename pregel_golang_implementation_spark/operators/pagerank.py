@@ -71,6 +71,79 @@ def pagerank_spec(num_vertices: int, damping: float = 0.85, tol: float = 1e-6) -
     )
 
 
+def personalized_pagerank_spec(damping: float = 0.85, tol: float = 1e-6) -> AlgorithmSpec:
+    """PageRank with a personalization (teleport) vector: restarts land on
+    the source set instead of uniformly, rank' = (1-d)·p(v) + d·(Σ msgs +
+    dangling_mass·p(v)).  Dangling mass teleports back to the source set —
+    the standard treatment.  The vertices frame must carry ``p`` (teleport
+    weight, summing to 1) alongside ``is_dangling``; with p ≡ 1/N this
+    reduces exactly to standard PageRank.  Same skeleton, same combine —
+    the personalization rides as a static column."""
+    d = float(damping)
+
+    def init_fn(vertices: DataFrame) -> DataFrame:
+        return vertices.select(
+            "id", F.col("p").cast("double").alias("value"),
+            "is_dangling", F.col("p").cast("double").alias("_p"),
+        )
+
+    def msg_fn(value, weight, g):
+        return value * weight
+
+    def apply_fn(old, msg, g):
+        dm = g.get("dangling_mass", F.lit(0.0))
+        return F.lit(1.0 - d) * F.col("_p") + F.lit(d) * (
+            F.coalesce(msg, F.lit(0.0)) + dm * F.col("_p")
+        )
+
+    def active_fn(old, new, msg):
+        return F.abs(new - old) > F.lit(tol)
+
+    return AlgorithmSpec(
+        name="personalized_pagerank",
+        init_fn=init_fn,
+        msg_fn=msg_fn,
+        combine=combine_sum,
+        recombine=recombine_sum,
+        apply_fn=apply_fn,
+        active_fn=active_fn,
+        static_cols=("is_dangling", "_p"),
+        use_frontier=False,
+        global_aggs={
+            "dangling_mass": F.sum(
+                F.when(F.col("is_dangling"), F.col("value")).otherwise(F.lit(0.0))
+            )
+        },
+        max_supersteps=100,
+        params={"damping": damping, "tol": tol, "personalized": True},
+    )
+
+
+def personalized_pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    source_ids: list[int],
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_supersteps: int = 100,
+    **runner_kwargs,
+) -> PregelResult:
+    """Personalized PageRank from a source set (uniform teleport over it).
+    Result state: (id, value=rank); ranks sum to 1 (±fp error)."""
+    pr_edges, vertices = prepare_pagerank_graph(edges)
+    k = float(len(source_ids))
+    vertices = vertices.withColumn(
+        "p",
+        F.when(F.col("id").isin([int(s) for s in source_ids]), F.lit(1.0 / k)).otherwise(
+            F.lit(0.0)
+        ),
+    )
+    spec = personalized_pagerank_spec(damping=damping, tol=tol)
+    spec.max_supersteps = max_supersteps
+    runner = PregelRunner(spark, spec, **runner_kwargs)
+    return runner.run(pr_edges, vertices=vertices)
+
+
 def prepare_pagerank_graph(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Normalize a directed edge list for PageRank.
 

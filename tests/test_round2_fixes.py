@@ -264,6 +264,43 @@ def test_chained_supersteps_identical(spark):
     assert PregelRunner(spark, pagerank_spec(10), steps_per_action=2).steps_per_action == 1
 
 
+# ------------------------------------------------- personalized PageRank
+
+def test_ppr_uniform_teleport_equals_standard_pagerank(spark):
+    """With p ≡ 1/N the personalized recurrence is standard PageRank —
+    an exact algebraic identity the implementation must reproduce."""
+    from pyspark.sql import functions as FF
+
+    from pregel_golang_implementation_spark.operators.pagerank import (
+        pagerank_spec,
+        personalized_pagerank,
+        personalized_pagerank_spec,
+        prepare_pagerank_graph,
+    )
+    from pregel_golang_implementation_spark.sources.graphs import synthetic_edges
+
+    edges = synthetic_edges(spark, num_vertices=500, avg_degree=5, seed=13)
+    pr_edges, vertices = prepare_pagerank_graph(edges)
+    n = vertices.count()
+    std = PregelRunner(spark, pagerank_spec(n, tol=1e-9)).run(
+        pr_edges, vertices=vertices, max_supersteps=8
+    )
+    uni = PregelRunner(spark, personalized_pagerank_spec(tol=1e-9)).run(
+        pr_edges,
+        vertices=vertices.withColumn("p", FF.lit(1.0 / n)),
+        max_supersteps=8,
+    )
+    a = {r["id"]: r["value"] for r in std.state.collect()}
+    b = {r["id"]: r["value"] for r in uni.state.collect()}
+    assert all(abs(a[i] - b[i]) < 1e-12 for i in a)
+    # single-source PPR: mass conserved, source holds the largest rank
+    ppr = personalized_pagerank(spark, edges, source_ids=[0], tol=1e-8)
+    total = ppr.state.groupBy().sum("value").first()[0]
+    assert abs(total - 1.0) < 1e-6
+    ranks = {r["id"]: r["value"] for r in ppr.state.collect()}
+    assert ranks[0] == max(ranks.values())
+
+
 # ----------------------------------------------------------- LPA salting
 
 def test_lpa_hub_salting_matches_unsalted(spark):
