@@ -386,6 +386,17 @@ _UW = (
 _V = "v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e)"
 
 
+def _materialize(sql: str) -> str:
+    """Force DuckDB to MATERIALIZE every CTE.  The unrolled iterative
+    oracles reference each s_{k-1} from multiple places (message CTE,
+    dangling CTE, carry-through), so inlined CTEs re-evaluate the whole
+    chain ~3^k times — the SQL twin of the engine's own plan-doubling
+    hazard (fixed there by localCheckpoint, here by materialization).
+    Measured: the 5-step PageRank oracle at sf0.1 spilled >70 GB inlined;
+    materialized it runs in seconds."""
+    return sql.replace(" AS (", " AS MATERIALIZED (")
+
+
 def _pagerank_sql(iters: int, damping: float = 0.85) -> str:
     parts = [
         _E,
@@ -410,7 +421,7 @@ def _pagerank_sql(iters: int, damping: float = 0.85) -> str:
             f"{damping} * (COALESCE(m{k}.s, 0) + (SELECT dm FROM d{k}) / (SELECT n FROM nn)) AS r "
             f"FROM v LEFT JOIN m{k} ON v.id = m{k}.id)"
         )
-    return (
+    return _materialize(
         "WITH "
         + ", ".join(parts)
         + f" SELECT id, CAST(ROUND(r, 6) AS DOUBLE) AS rank FROM s{iters}"
@@ -444,7 +455,7 @@ def _ppr_sql(iters: int, damping: float = 0.85) -> str:
             f"{damping} * (COALESCE(m{k}.s, 0) + (SELECT dm FROM d{k}) * pv.p) AS r "
             f"FROM pv LEFT JOIN m{k} ON pv.id = m{k}.id)"
         )
-    return (
+    return _materialize(
         "WITH "
         + ", ".join(parts)
         + f" SELECT id, CAST(ROUND(r, 6) AS DOUBLE) AS rank FROM s{iters}"
@@ -463,7 +474,7 @@ def _cc_sql(iters: int) -> str:
             f"s{k} AS (SELECT {p}.id, LEAST({p}.val, COALESCE(m{k}.mv, {p}.val)) AS val "
             f"FROM {p} LEFT JOIN m{k} ON {p}.id = m{k}.id)"
         )
-    return (
+    return _materialize(
         "WITH "
         + ", ".join(parts)
         + f" SELECT id, CAST(val AS BIGINT) AS component FROM s{iters}"
@@ -489,7 +500,7 @@ def _sssp_sql(iters: int) -> str:
             f"s{k} AS (SELECT {p}.id, LEAST({p}.val, COALESCE(m{k}.mv, {p}.val)) AS val "
             f"FROM {p} LEFT JOIN m{k} ON {p}.id = m{k}.id)"
         )
-    return (
+    return _materialize(
         "WITH "
         + ", ".join(parts)
         + f" SELECT id, val AS distance FROM s{iters} WHERE val < 1e17"
@@ -512,14 +523,14 @@ def _lpa_sql(iters: int) -> str:
             f"s{k} AS (SELECT {p}.id, COALESCE(t.lbl, {p}.val) AS val FROM {p} "
             f"LEFT JOIN (SELECT id, lbl FROM t{k} WHERE rn = 1) t ON {p}.id = t.id)"
         )
-    return (
+    return _materialize(
         "WITH "
         + ", ".join(parts)
         + f" SELECT id, CAST(val AS BIGINT) AS label FROM s{iters}"
     )
 
 
-_CC2_ACTIVE_SQL = (
+_CC2_ACTIVE_SQL = _materialize(
     "WITH "
     + ", ".join(
         [
@@ -615,7 +626,7 @@ def _dedup_resolve_sql(iters: int, threshold: float) -> str:
             f"s{k} AS (SELECT {p}.id, LEAST({p}.val, COALESCE(m{k}.mv, {p}.val)) AS val "
             f"FROM {p} LEFT JOIN m{k} ON {p}.id = m{k}.id)"
         )
-    return (
+    return _materialize(
         "WITH "
         + ", ".join(parts)
         + f" SELECT id AS doc_id, CAST(val AS BIGINT) AS cluster_id, "

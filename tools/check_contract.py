@@ -33,6 +33,13 @@ def main() -> int:
     only = set(sys.argv[2:])
     spark = get_spark(app_name="contract-check", cores=8, shuffle_partitions=8)
     con = duckdb.connect()
+    # bounded spill on tmpfs — an accidental CTE-inlining blow-up must
+    # fail fast, not fill the root disk (observed: 70 GB in ./.tmp)
+    import os
+
+    if os.path.isdir("/dev/shm"):
+        con.sql("SET temp_directory='/dev/shm/duckdb_contract_tmp'")
+        con.sql("SET max_temp_directory_size='20GiB'")
     for t in TABLES:
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
