@@ -246,6 +246,11 @@ def ngram_jaccard(
         pairs = pairs.select("doc_a", "doc_b").filter(
             F.col("doc_a") < F.col("doc_b")
         ).distinct()
+        cand_docs = (
+            pairs.select(F.col("doc_a").alias("doc_id"))
+            .union(pairs.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
         a = sh.join(
             pairs.select(F.col("doc_a").alias("doc_id")).distinct(), "doc_id", "left_semi"
         ).select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -258,6 +263,10 @@ def ngram_jaccard(
             .groupBy("doc_a", "doc_b")
             .agg(F.count(F.lit(1)).alias("n_inter"))
         )
+        # sizes, too, only for candidate docs — without the semi-join the
+        # n_sh aggregate would tokenize and shuffle the ENTIRE corpus just
+        # to size docs the inner join then discards
+        sh = sh.join(cand_docs, "doc_id", "left_semi")
     else:
         a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
         b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

@@ -65,9 +65,10 @@ FEATURE_DIM = 8
 # Real-decode escape hatch: if Pillow is importable (real deployment), the
 # image path upgrades itself to decode+resize+histogram over true pixels;
 # in this container (no PIL) it falls back to the deterministic byte-level
-# stub.  Detection happens ONCE at import on the driver; the flag is a
-# plain bool so it serializes into the UDF closure unchanged — every
-# executor takes the same path.
+# stub.  The path is CHOSEN once on the driver; executors re-import this
+# module, so _pil_decode_image raises loudly if Pillow is missing there —
+# a heterogeneous pool must fail fast, never silently mix stub and real
+# features in one column.
 try:  # pragma: no cover - exercised only where Pillow is installed
     from PIL import Image as _PILImage
 
@@ -93,9 +94,19 @@ def _pil_decode_image(payload: bytes) -> np.ndarray:  # pragma: no cover
     """Real decode path (used when Pillow is importable): decode → 32×32
     grayscale resize → 8-bin pixel histogram, L1-normalized.  Same output
     schema as the stub, so the operator contract is identical both ways.
-    Undecodable payloads degrade to the stub (never fail the batch)."""
+    Undecodable PAYLOADS degrade to the stub (never fail the batch), but
+    a MISSING Pillow on this executor fails loudly — the driver chose the
+    real-decode path, and silently stubbing here would mix two
+    incompatible feature spaces in one output column (heterogeneous
+    executor images are a config error, not a data error)."""
     import io
 
+    if _PILImage is None:
+        raise RuntimeError(
+            "decode_features resolved to the Pillow path on the driver, but "
+            "Pillow is not importable on this executor — install Pillow on "
+            "every executor image, or pass use_pil=False"
+        )
     try:
         img = _PILImage.open(io.BytesIO(payload)).convert("L").resize((32, 32))
         arr = np.asarray(img, dtype=np.uint8).ravel()

@@ -130,6 +130,11 @@ def personalized_pagerank(
 ) -> PregelResult:
     """Personalized PageRank from a source set (uniform teleport over it).
     Result state: (id, value=rank); ranks sum to 1 (±fp error)."""
+    if not source_ids:
+        raise ValueError(
+            "personalized_pagerank needs a non-empty source_ids — the "
+            "teleport vector must sum to 1"
+        )
     pr_edges, vertices = prepare_pagerank_graph(edges)
     k = float(len(source_ids))
     vertices = vertices.withColumn(

@@ -44,7 +44,10 @@ STATE_SCHEMA_DOC = "state(id: long, value: double, active: boolean, *static)"
 class SuperstepMetrics:
     """Per-superstep counters (north_rule: messages sent, active vertices,
     convergence delta; the reference only ever recorded total wall time —
-    Master.go:1052-1053)."""
+    Master.go:1052-1053).  Counters are exact per superstep (each step has
+    its own Observation) — ``wall_secs`` alone is the block wall divided
+    by the block's step count when ``steps_per_action > 1``, since chained
+    steps share one job and have no individual wall clock."""
 
     superstep: int
     active_vertices: int

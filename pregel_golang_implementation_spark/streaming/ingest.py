@@ -62,30 +62,56 @@ def edge_stream_ingest(
 
 
 def compact_edge_table(spark: SparkSession, table_dir: str) -> int:
-    """Cross-batch dedup compaction for the streamed edge table: rewrite
-    ``table_dir`` keeping one row per (src, dst) with the min weight
-    (matching ``edges_from_lineitem``'s deterministic-weight rule).
+    """Cross-batch dedup compaction for the streamed edge table: collapse
+    to one row per (src, dst) with the min weight (matching
+    ``edges_from_lineitem``'s deterministic-weight rule).
 
     The streaming sink dedups only within a micro-batch; run this
     periodically (or before a big job) to collapse duplicates across
-    batches.  Atomic swap: write to a sibling tmp dir, then replace —
-    readers never see a half-written table.  Returns the compacted row
-    count."""
-    import shutil
+    batches.  File-level, append-safe protocol — the table directory is
+    never swapped out:
 
+      1. snapshot the list of data files present NOW;
+      2. compact exactly those files into new uniquely-named files;
+      3. move the new files in, then delete only the snapshotted ones.
+
+    A micro-batch appended DURING compaction is untouched (its files are
+    not in the snapshot), so no ingested row is ever lost and the
+    directory always exists.  A concurrent reader may transiently see a
+    row twice (old file + compacted copy) in the brief move-in window —
+    the pre-compaction duplicate state, which every consumer of this
+    table already tolerates.  Exactly-once needs a snapshotting table
+    format (Iceberg/Delta — jars not in this image).  Returns the
+    compacted row count."""
+    import shutil
+    import uuid
+
+    snapshot = sorted(
+        name
+        for name in os.listdir(table_dir)
+        if name.endswith(".parquet") and not name.startswith(".")
+    )
+    if not snapshot:
+        return 0
     compacted = (
-        spark.read.parquet(table_dir)
+        spark.read.parquet(*[os.path.join(table_dir, f) for f in snapshot])
         .groupBy("src", "dst")
         .agg(F.min("weight").alias("weight"))
     )
-    tmp = table_dir.rstrip("/") + ".compact.tmp"
+    tmp = table_dir.rstrip("/") + f".compact-{uuid.uuid4().hex[:8]}.tmp"
     compacted.write.mode("overwrite").parquet(tmp)
     n = spark.read.parquet(tmp).count()
-    old = table_dir.rstrip("/") + ".compact.old"
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(table_dir, old)
-    os.rename(tmp, table_dir)
-    shutil.rmtree(old, ignore_errors=True)
+    tag = uuid.uuid4().hex[:8]
+    for i, name in enumerate(
+        f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")
+    ):
+        os.rename(
+            os.path.join(tmp, name),
+            os.path.join(table_dir, f"compact-{tag}-{i:05d}.parquet"),
+        )
+    for name in snapshot:
+        os.remove(os.path.join(table_dir, name))
+    shutil.rmtree(tmp, ignore_errors=True)
     return n
 
 
@@ -166,10 +192,15 @@ def windowed_event_stats(
 
     Default ``update`` mode honors the late-data contract: rows later than
     the watermark are dropped and finalized window state is evicted
-    (bounded state — the 100 TB requirement).  ``complete`` mode is also
-    accepted but NOTE: under complete mode Spark keeps all window state
-    forever and the watermark is inert (late rows are still aggregated) —
-    only use it for small verification runs."""
+    (bounded state — the 100 TB requirement).  NOTE the memory sink in
+    update mode holds the UPDATE CHANGELOG: every trigger appends the
+    rows it updated, so a window spanning multiple triggers appears once
+    per update — read the latest update per (window, event_type), or use
+    a real sink (foreachBatch upsert) in production; this helper exists
+    to verify drop/keep semantics locally.  ``complete`` mode keeps the
+    memory table to exactly-current aggregates instead, but then Spark
+    retains ALL window state forever and the watermark is inert (late
+    rows still aggregated) — only for small verification runs."""
     stream = spark.readStream.schema(schema).parquet(input_dir)
     agg = (
         stream.withWatermark("ts", watermark)

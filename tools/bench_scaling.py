@@ -14,7 +14,8 @@ Usage:
   python tools/bench_scaling.py worker <cores> <num_vertices> <avg_degree> <supersteps>
       → prints one JSON line
   python tools/bench_scaling.py [N] [vertices] [degree] [steps]
-      → orchestrates both levels (N and 4N), writes BENCH/BASELINE.md
+      → orchestrates both levels (N and 4N), writes BENCH/scaling_latest.{json,md}
+        (BENCH/BASELINE.md and scaling_r{N}.json are curated by hand)
 """
 
 from __future__ import annotations
@@ -174,7 +175,7 @@ def orchestrate(
     # files are curated by hand and must not be clobbered by a re-run
     with open(os.path.join(REPO, "BENCH", "scaling_latest.json"), "w") as f:
         json.dump(report, f, indent=2)
-    md = f"""# BENCH/BASELINE.md — measured throughput + scaling efficiency
+    md = f"""# BENCH/scaling_latest.md — measured throughput + scaling efficiency
 
 North-rule scaling criterion evidenced per the task directive (no real
 cluster in this sandbox): the same PageRank job (fixed {supersteps}
@@ -184,7 +185,7 @@ so the physical plan is identical) run at two parallelism levels in
 separate JVMs, levels interleaved across repeats.  Throughput = sustained
 (median) per-superstep rate — this shared VM injects ±2× step-time noise
 (GC/steal), so medians + best-of-interleaved-repeats per level; every raw
-step wall is in `BENCH/scaling.json`.
+step wall is in `BENCH/scaling_latest.json`.
 
 | parallelism | median superstep (s) | edges/sec | supersteps/min |
 |---|---|---|---|
@@ -195,7 +196,7 @@ step wall is in `BENCH/scaling.json`.
 = **{eff:.3f}** — criterion ≥ 0.8: **{"PASS" if eff >= 0.8 else "FAIL"}**.
 
 Throughput definition (BASELINE.md): edges/sec = directed edges ×
-supersteps executed / wall seconds.  Raw numbers: `BENCH/scaling.json`.
+supersteps executed / wall seconds.  Raw numbers: `BENCH/scaling_latest.json`.
 Reproduce: `python tools/bench_scaling.py {n_cores} {num_vertices} {avg_degree} {supersteps}`.
 """
     with open(os.path.join(REPO, "BENCH", "scaling_latest.md"), "w") as f:
