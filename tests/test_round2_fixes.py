@@ -91,6 +91,37 @@ def test_unsalt_ids_exact_beyond_double_precision(spark):
     assert got == want
 
 
+def test_salt_unsalt_roundtrip_property(spark):
+    """Property test (Hypothesis): salting a hub id into any of its salt
+    replicas and unsalting recovers the id EXACTLY, for the entire valid
+    id range and any salt count — integer arithmetic end to end."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    cases = []
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        hub=st.integers(min_value=0, max_value=(2**63 - 1) // 64 - 1),
+        num_salts=st.sampled_from([2, 8, 32, 64]),
+        salt=st.integers(min_value=0, max_value=63),
+    )
+    def collect(hub, num_salts, salt):
+        salt = salt % num_salts
+        cases.append((int(-(hub * num_salts + salt) - 1), num_salts, hub))
+
+    collect()
+    # one Spark job per num_salts bucket (the column expr is per-frame)
+    by_salts = {}
+    for salted, num_salts, hub in cases:
+        by_salts.setdefault(num_salts, []).append((salted, hub))
+    for num_salts, rows in by_salts.items():
+        df = spark.createDataFrame([(s,) for s, _ in rows], "id long")
+        got = [r["id"] for r in unsalt_ids(df, num_salts=num_salts).collect()]
+        want = [h for _, h in rows]
+        assert got == want, f"num_salts={num_salts}"
+
+
 def test_resume_rejects_mismatched_spec(spark, tmp_path):
     edges = _chain_edges(spark)
     ck = str(tmp_path / "ck_mismatch")
