@@ -407,6 +407,39 @@ def test_compact_edge_table_cross_batch_dedup(spark, tmp_path):
     assert rows == {(1, 2, 1.0), (2, 3, 1.0), (4, 5, 2.0)}
 
 
+def test_compact_edge_table_preserves_concurrent_append(spark, tmp_path, monkeypatch):
+    """Rows appended AFTER compaction snapshots its file list must survive
+    (the old directory-swap protocol destroyed them)."""
+    import os as os_mod
+
+    from pregel_golang_implementation_spark.streaming import ingest
+
+    table = str(tmp_path / "edge_table_cc")
+    spark.createDataFrame(
+        [(1, 2, 3.0), (1, 2, 1.0)], "src long, dst long, weight double"
+    ).write.mode("append").parquet(table)
+
+    real_listdir = os_mod.listdir
+    injected = {"done": False}
+
+    def listdir_with_append(path):
+        names = real_listdir(path)
+        if path == table and not injected["done"]:
+            injected["done"] = True
+            # a micro-batch lands right after the snapshot is taken
+            spark.createDataFrame(
+                [(9, 9, 9.0)], "src long, dst long, weight double"
+            ).write.mode("append").parquet(table)
+        return names
+
+    monkeypatch.setattr(ingest.os, "listdir", listdir_with_append)
+    n = ingest.compact_edge_table(spark, table)
+    monkeypatch.undo()
+    assert n == 1  # the snapshotted files compact to one (1,2) row
+    rows = {(r["src"], r["dst"], r["weight"]) for r in spark.read.parquet(table).collect()}
+    assert rows == {(1, 2, 1.0), (9, 9, 9.0)}  # concurrent append survived
+
+
 def test_streaming_dedup_emits_first_ever_only(spark, tmp_path):
     """Custom stateful operator (applyInPandasWithState): per content-hash
     state survives across micro-batches — a duplicate arriving in a LATER
