@@ -307,6 +307,18 @@ def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.select("id", F.round(F.col("value"), 6).alias("rank"))
 
 
+def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank: rank flows proportionally to edge weight
+    (min(l_linenumber) per edge) instead of uniformly over out-edges."""
+    edges = edges_from_lineitem(spark, sf_dir)
+    pr_edges, vertices = prepare_pagerank_graph(edges, weighted=True)
+    n = vertices.count()
+    res = _runner(spark, pagerank_spec(n, damping=0.85, tol=1e-12)).run(
+        pr_edges, vertices=vertices, max_supersteps=PR_ITERS
+    )
+    return res.state.select("id", F.round(F.col("value"), 6).alias("rank"))
+
+
 def q_pagerank_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k report surface (SURVEY.md §2.2 sorts/limits): highest-rank
     vertices after PR_ITERS supersteps, deterministic tie-break by id."""
@@ -368,6 +380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "pagerank_top10": q_pagerank_top10,
         "personalized_pagerank": q_ppr,
+        "pagerank_weighted": q_pagerank_weighted,
     }
 
 
@@ -397,11 +410,13 @@ def _materialize(sql: str) -> str:
     return sql.replace(" AS (", " AS MATERIALIZED (")
 
 
-def _pagerank_sql(iters: int, damping: float = 0.85) -> str:
+def _pagerank_sql(iters: int, damping: float = 0.85, weighted: bool = False) -> str:
+    flow = "p.r * e.weight / deg.outdeg" if weighted else "p.r / deg.outdeg"
+    degexpr = "SUM(weight)" if weighted else "COUNT(*)"
     parts = [
         _E,
         _V,
-        "deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src)",
+        f"deg AS (SELECT src, {degexpr} AS outdeg FROM e GROUP BY src)",
         "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v)",
         "s0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS r FROM v)",
     ]
@@ -412,7 +427,7 @@ def _pagerank_sql(iters: int, damping: float = 0.85) -> str:
             f"LEFT JOIN deg ON p.id = deg.src WHERE deg.src IS NULL)"
         )
         parts.append(
-            f"m{k} AS (SELECT e.dst AS id, SUM(p.r / deg.outdeg) AS s "
+            f"m{k} AS (SELECT e.dst AS id, SUM({flow}) AS s "
             f"FROM {p} p JOIN e ON p.id = e.src JOIN deg ON deg.src = e.src "
             f"GROUP BY e.dst)"
         )
@@ -725,6 +740,7 @@ def oracle_sql() -> dict[str, str]:
             + ") ORDER BY rank DESC, id ASC LIMIT 10"
         ),
         "personalized_pagerank": _ppr_sql(PR_ITERS),
+        "pagerank_weighted": _pagerank_sql(PR_ITERS, weighted=True),
     }
 
 

@@ -149,26 +149,47 @@ def personalized_pagerank(
     return runner.run(pr_edges, vertices=vertices)
 
 
-def prepare_pagerank_graph(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+def prepare_pagerank_graph(
+    edges: DataFrame, weighted: bool = False
+) -> tuple[DataFrame, DataFrame]:
     """Normalize a directed edge list for PageRank.
 
     Returns (pr_edges, vertices):
-      pr_edges(src, dst, weight=1/outdeg(src)) — duplicate edges collapsed
+      pr_edges(src, dst, weight) — duplicate edges collapsed; weight is the
+        fraction of src's rank shipped along the edge: 1/outdeg(src) by
+        default, or weight_ij / Σ_j weight_ij when ``weighted=True``
+        (edge-weight-proportional rank flow; rows still sum to 1 per src,
+        so the same spec/dangling treatment applies unchanged)
       vertices(id, is_dangling)
     """
-    e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long")).dropDuplicates(
-        ["src", "dst"]
-    )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    pr_edges = e.join(outdeg, "src").select(
-        "src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("weight")
-    )
+    if weighted:
+        e = (
+            edges.select(
+                F.col("src").cast("long"),
+                F.col("dst").cast("long"),
+                F.col("weight").cast("double").alias("_w"),
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("_w").alias("_w"))
+        )
+        outdeg = e.groupBy("src").agg(F.sum("_w").alias("_wsum"))
+        pr_edges = e.join(outdeg, "src").select(
+            "src", "dst", (F.col("_w") / F.col("_wsum")).alias("weight")
+        )
+    else:
+        e = edges.select(
+            F.col("src").cast("long"), F.col("dst").cast("long")
+        ).dropDuplicates(["src", "dst"])
+        outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+        pr_edges = e.join(outdeg, "src").select(
+            "src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("weight")
+        )
     vertices = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
-        .join(outdeg.withColumnRenamed("src", "id"), "id", "left")
-        .select("id", F.col("outdeg").isNull().alias("is_dangling"))
+        .join(outdeg.select(F.col("src").alias("id"), F.lit(True).alias("_has_out")), "id", "left")
+        .select("id", F.col("_has_out").isNull().alias("is_dangling"))
     )
     return pr_edges, vertices
 
@@ -179,13 +200,16 @@ def pagerank(
     damping: float = 0.85,
     tol: float = 1e-6,
     max_supersteps: int = 100,
+    weighted: bool = False,
     **runner_kwargs,
 ) -> PregelResult:
     """Run PageRank to the 1e-6 fixed point (BASELINE.json criterion).
 
+    ``weighted=True`` distributes rank proportionally to edge weights
+    instead of uniformly over out-edges.
     Result state: (id, value=rank, ...); ranks sum to 1 (±fp error).
     """
-    pr_edges, vertices = prepare_pagerank_graph(edges)
+    pr_edges, vertices = prepare_pagerank_graph(edges, weighted=weighted)
     n = vertices.count()
     spec = pagerank_spec(n, damping=damping, tol=tol)
     spec.max_supersteps = max_supersteps

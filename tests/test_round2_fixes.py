@@ -332,6 +332,30 @@ def test_ppr_uniform_teleport_equals_standard_pagerank(spark):
     assert ranks[0] == max(ranks.values())
 
 
+def test_weighted_pagerank_uniform_weights_equals_standard(spark):
+    """With all edge weights equal, weight-proportional rank flow is
+    uniform flow — weighted PR must equal standard PR exactly; and with
+    skewed weights the heavier target must out-rank the lighter one."""
+    from pyspark.sql import functions as FF
+
+    from pregel_golang_implementation_spark.operators.pagerank import pagerank
+
+    base = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (2, 0, 1.0), (0, 2, 1.0)],
+        "src long, dst long, weight double",
+    )
+    std = pagerank(spark, base, tol=1e-10)
+    wtd = pagerank(spark, base, tol=1e-10, weighted=True)
+    a = {r["id"]: r["value"] for r in std.state.collect()}
+    b = {r["id"]: r["value"] for r in wtd.state.collect()}
+    assert all(abs(a[i] - b[i]) < 1e-12 for i in a)
+    skew = base.withColumn(
+        "weight", FF.when((FF.col("src") == 0) & (FF.col("dst") == 2), 9.0).otherwise(1.0)
+    )
+    sk = {r["id"]: r["value"] for r in pagerank(spark, skew, tol=1e-10, weighted=True).state.collect()}
+    assert sk[2] > b[2]  # vertex 2 now receives 0.9 of vertex 0's rank
+
+
 # ----------------------------------------------------------- LPA salting
 
 def test_lpa_hub_salting_matches_unsalted(spark):
