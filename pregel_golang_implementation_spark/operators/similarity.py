@@ -12,10 +12,55 @@ DuckDB oracle — no driver-side random state to ship.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import hashlib
+
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pregel_golang_implementation_spark.functions import cosine_similarity
+
+
+def _distributed_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Two-level distributed top-k over (query_id, neighbor_id, sim).
+
+    Returns (query_id, neighbor_id, sim, rank) with rank = 1..k ordered by
+    (sim desc, neighbor_id asc) — the same result as a row_number window,
+    WITHOUT the window's scale-killer: ``Window.partitionBy(query_id)``
+    funnels every scored row for a query onto ONE reducer (with a handful
+    of queries against a 100 TB corpus, that is a single-task sort of
+    ~|corpus| rows per query).  Here instead:
+
+      1. partial top-k per (query_id, input-partition): groups are
+         map-local, the composite key fans the aggregation out across ALL
+         reducers, and each group sorts only one partition's rows;
+      2. final merge of the ≤ num_partitions × k survivors per query — a
+         tiny second aggregate (k rows per upstream partition).
+
+    The sort key is the struct (-sim, neighbor_id) ascending, which
+    reproduces the window's (sim desc, neighbor_id asc) ordering exactly
+    for finite sims; NaN sims sort LAST here (Spark orders NaN greatest,
+    so the old desc window put them first) — a NaN score can no longer
+    displace real neighbors, which is the ordering a user wants anyway.
+    """
+    item = F.struct(
+        (-F.col("sim")).alias("_neg"),
+        F.col("neighbor_id").alias("neighbor_id"),
+        F.col("sim").alias("sim"),
+    )
+    partial = (
+        scored.withColumn("_p", F.spark_partition_id())
+        .groupBy("query_id", "_p")
+        .agg(F.slice(F.sort_array(F.collect_list(item)), 1, k).alias("_tk"))
+    )
+    merged = partial.groupBy("query_id").agg(
+        F.slice(F.sort_array(F.flatten(F.collect_list("_tk"))), 1, k).alias("_tk")
+    )
+    return merged.select("query_id", F.posexplode("_tk").alias("_r", "_s")).select(
+        "query_id",
+        F.col("_s.neighbor_id").alias("neighbor_id"),
+        F.col("_s.sim").alias("sim"),
+        (F.col("_r") + 1).alias("rank"),
+    )
 
 
 def cosine_topk(
@@ -26,10 +71,11 @@ def cosine_topk(
     vec_col: str = "embedding",
     round_to: int | None = None,
 ) -> DataFrame:
-    """(query_id, neighbor_id, sim) — exact brute-force top-k for a small
-    query set.  The query side is broadcast (tiny by construction); the
-    corpus side streams — this is the shape that scales: never a corpus
-    self-join."""
+    """(query_id, neighbor_id, sim, rank) — exact brute-force top-k for a
+    small query set.  The query side is broadcast (tiny by construction);
+    the corpus side streams — this is the shape that scales: never a
+    corpus self-join.  Top-k selection is the two-level partial top-k
+    (``_distributed_topk``), never a per-query single-reducer window."""
     q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
@@ -42,12 +88,24 @@ def cosine_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", sim.alias("sim"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .select("query_id", "neighbor_id", "sim", F.col("_rn").alias("rank"))
-    )
+    return _distributed_topk(scored, k)
+
+
+def _srp_weights(bits: int, dims: int) -> list[list[float]]:
+    """The ±1 hyperplane table, derived ONCE on the driver: weight(b, d) =
+    -1 if the first hex digit of md5('b_d') < '8' else +1 — the identical
+    spec the DuckDB oracle evaluates in SQL.  bits×dims md5 calls total,
+    instead of bits×dims md5 calls PER VECTOR (the r2 shape recomputed
+    these constants inside the row expression)."""
+    return [
+        [
+            -1.0
+            if hashlib.md5(f"{b}_{d}".encode()).hexdigest()[0] in "01234567"
+            else 1.0
+            for d in range(dims)
+        ]
+        for b in range(bits)
+    ]
 
 
 def srp_buckets(
@@ -55,38 +113,54 @@ def srp_buckets(
     bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dims: int | None = None,
 ) -> DataFrame:
     """(vec_id, bucket) — sign-random-projection LSH.
 
     weight(bit b, dim d) = -1 if first hex digit of md5('b_d') < '8'
     else +1; bucket bit b = [Σ_d w(b,d)·x_d ≥ 0].  Deterministic,
     engine-portable.  Bucket key is an int in [0, 2^bits).
+
+    The weight table is precomputed on the driver (``_srp_weights``) and
+    shipped as array literals; each projection is a zip_with + ordered
+    aggregate over the vector — a pure codegen PROJECTION, no explode and
+    no shuffle at all (the r2 shape exploded to (vec, dim) rows and
+    re-aggregated: a corpus-sized shuffle of dims× the rows, plus per-row
+    md5 of constants).  The ordered fold sums dims in index order, exactly
+    the order the old per-vector F.sum accumulated, so rounded projections
+    are bit-identical.
+
+    ``dims`` must cover every vector's length (inferred from the first row
+    when None — assumes the uniform-dimension embedding tables this module
+    targets); dims present in a vector beyond ``dims`` are ignored, and
+    vectors shorter than ``dims`` contribute nothing for missing entries
+    (same as the exploded formulation).
     """
-    dims = embeddings.select(
-        F.col(id_col).alias("vec_id"), F.posexplode(F.col(vec_col)).alias("d", "x")
-    )
+    if dims is None:
+        row = embeddings.select(F.size(F.col(vec_col)).alias("n")).head(1)
+        dims = int(row[0]["n"]) if row else 0
+    weights = _srp_weights(bits, dims)
+    v = F.col(vec_col)
 
-    def wx(b: int):
-        # weight(b, d) = ±1 from md5("b_d") — deterministic, engine-portable
-        return F.col("x").cast("double") * F.when(
-            F.substring(
-                F.md5(F.concat(F.lit(f"{b}_"), F.col("d").cast("string"))), 1, 1
-            ).isin(*list("01234567")),
-            -1.0,
-        ).otherwise(1.0)
+    def proj(b: int):
+        wb = F.array(*[F.lit(w) for w in weights[b]])
+        # round before the sign test: makes the bucket bit reproducible
+        # across engines regardless of last-ulp sum-order effects
+        return F.round(
+            F.aggregate(
+                F.zip_with(
+                    v, wb, lambda x, w: F.coalesce(x.cast("double") * w, F.lit(0.0))
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ),
+            6,
+        )
 
-    # the `bits` projections are SUM-aggregate columns over one pass of
-    # the (vec, dim) rows — a bit explode would shuffle bits× the rows.
-    # Round before the sign test: the projection sum is order-dependent in
-    # the last ulps; rounding makes the bucket bit reproducible across
-    # engines/partitionings.
-    sums = dims.groupBy("vec_id").agg(
-        *[F.round(F.sum(wx(b)), 6).alias(f"_s{b}") for b in range(bits)]
-    )
-    return sums.select(
-        "vec_id",
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
         sum(
-            F.when(F.col(f"_s{b}") >= 0, F.lit(float(2**b))).otherwise(F.lit(0.0))
+            F.when(proj(b) >= 0, F.lit(float(2**b))).otherwise(F.lit(0.0))
             for b in range(bits)
         ).cast("long").alias("bucket"),
     )
@@ -180,7 +254,10 @@ def ann_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: exact cosine, but only within the query's SRP
-    bucket (the IVF-style scale path; recall < 1.0 by design)."""
+    bucket (the IVF-style scale path; recall < 1.0 by design).  Top-k
+    selection via ``_distributed_topk`` — the in-bucket candidate set per
+    query is already 2^bits× smaller than the corpus, but a handful of
+    queries over a 100 TB corpus still must not sort on one reducer."""
     bk = srp_buckets(embeddings, bits=bits, id_col=id_col, vec_col=vec_col)
     emb = embeddings.join(
         bk.withColumnRenamed("vec_id", "_bk_id"),
@@ -201,9 +278,4 @@ def ann_topk(
             cosine_similarity(F.col("_qv"), F.col("_cv")).alias("sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .select("query_id", "neighbor_id", "sim", F.col("_rn").alias("rank"))
-    )
+    return _distributed_topk(scored, k)
