@@ -33,6 +33,7 @@ from pregel_golang_implementation_spark.operators.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
     near_dup_clusters,
+    ngram_containment,
     ngram_jaccard,
     simhash,
     word_shingles,
@@ -329,6 +330,21 @@ def q_pagerank_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DECONTAM_BENCH_MAX_ID = 10  # doc_id < 10 plays the "benchmark suite"
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: asymmetric n-gram containment of each
+    'benchmark' doc (doc_id < 10) against the rest of the corpus."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") < DECONTAM_BENCH_MAX_ID)
+    corpus = docs.filter(F.col("doc_id") >= DECONTAM_BENCH_MAX_ID)
+    out = ngram_containment(corpus, bench, n=3)
+    return out.select(
+        "doc_id", "benchmark_id", F.round("containment", 6).alias("containment")
+    )
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: SRP candidates verified with exact
     cosine ≥ threshold (never corpus × corpus)."""
@@ -378,6 +394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_resolve": q_dedup_resolve,
         "ann_candidates": q_ann_candidates,
         "embedding_near_dups": q_embedding_near_dups,
+        "decontaminate": q_decontaminate,
         "pagerank_top10": q_pagerank_top10,
         "personalized_pagerank": q_ppr,
         "pagerank_weighted": q_pagerank_weighted,
@@ -734,6 +751,17 @@ def oracle_sql() -> dict[str, str]:
             "JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id"
         ),
         "embedding_near_dups": _embedding_near_dups_sql(threshold=0.2),
+        "decontaminate": (
+            f"WITH {_SHINGLES}, "
+            f"b AS (SELECT doc_id AS benchmark_id, shingle FROM sh WHERE doc_id < {DECONTAM_BENCH_MAX_ID}), "
+            f"c AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= {DECONTAM_BENCH_MAX_ID}), "
+            "sizes AS (SELECT benchmark_id, COUNT(*) AS n_bench FROM b GROUP BY 1), "
+            "inter AS (SELECT c.doc_id, b.benchmark_id, COUNT(*) AS n_inter "
+            "FROM c JOIN b ON c.shingle = b.shingle GROUP BY 1, 2) "
+            "SELECT i.doc_id, i.benchmark_id, "
+            "CAST(ROUND(n_inter / n_bench, 6) AS DOUBLE) AS containment "
+            "FROM inter i JOIN sizes s ON i.benchmark_id = s.benchmark_id"
+        ),
         "pagerank_top10": (
             "SELECT * FROM ("
             + _pagerank_sql(PR_ITERS)
@@ -768,15 +796,27 @@ def _quality_sql() -> str:
     stop_list = ", ".join(f"'{w}'" for w in stop)
     return (
         "WITH t AS (SELECT doc_id, text, "
-        "regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents), "
+        "regexp_split_to_array(trim(lower(text)), '\\s+') AS w, "
+        "list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS ln FROM documents), "
         "base AS (SELECT doc_id, "
         f"CAST(ROUND(len(list_filter(w, x -> x IN ({stop_list}))) / GREATEST(len(w), 1), 6) AS DOUBLE) AS stopword_ratio, "
         "CAST(ROUND(length(regexp_replace(trim(text), '\\s+', '', 'g')) / GREATEST(len(w), 1), 6) AS DOUBLE) AS mean_token_len, "
-        "CAST(ROUND(length(regexp_replace(text, '[^\\p{L}\\p{N}]', '', 'g')) / GREATEST(length(text), 1), 6) AS DOUBLE) AS alnum_ratio "
-        "FROM t) "
-        "SELECT doc_id, stopword_ratio, mean_token_len, alnum_ratio, "
-        "CAST(mean_token_len >= 2 AND mean_token_len <= 12 AND alnum_ratio >= 0.5 AS INT) AS quality "
-        "FROM base"
+        "CAST(ROUND(length(regexp_replace(text, '[^\\p{L}\\p{N}]', '', 'g')) / GREATEST(length(text), 1), 6) AS DOUBLE) AS alnum_ratio, "
+        "CAST(CASE WHEN len(ln) > 0 THEN ROUND(1.0 - len(list_distinct(ln)) / len(ln), 6) "
+        "ELSE 0.0 END AS DOUBLE) AS dup_line_frac "
+        "FROM t), "
+        "bgl AS (SELECT doc_id, CASE WHEN len(w) >= 2 THEN "
+        "[w[i] || ' ' || w[i+1] for i in generate_series(1, len(w) - 1)] "
+        "ELSE [] END AS bgs FROM t), "
+        "bg AS (SELECT doc_id, unnest(bgs) AS bg FROM bgl), "
+        "bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2), "
+        "tb AS (SELECT doc_id, CAST(ROUND(MAX(c) / SUM(c), 6) AS DOUBLE) AS top_bigram_frac "
+        "FROM bc GROUP BY 1) "
+        "SELECT base.doc_id, stopword_ratio, mean_token_len, alnum_ratio, dup_line_frac, "
+        "CAST(COALESCE(top_bigram_frac, 0.0) AS DOUBLE) AS top_bigram_frac, "
+        "CAST(mean_token_len >= 2 AND mean_token_len <= 12 AND alnum_ratio >= 0.5 "
+        "AND dup_line_frac <= 0.3 AND COALESCE(top_bigram_frac, 0.0) <= 0.2 AS INT) AS quality "
+        "FROM base LEFT JOIN tb ON base.doc_id = tb.doc_id"
     )
 
 

@@ -41,7 +41,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    spark = get_spark(app_name="bench", cores=cpus, shuffle_partitions=cpus)
+    # tmpfs spill dirs: opt-in here because the bench's shuffle volume at
+    # sf0.1 is known-bounded (get_spark still checks free headroom)
+    spark = get_spark(
+        app_name="bench", cores=cpus, shuffle_partitions=cpus, tmpfs_local_dir=True
+    )
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}

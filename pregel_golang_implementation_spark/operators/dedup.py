@@ -293,6 +293,49 @@ def ngram_jaccard(
     return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
 
 
+def ngram_containment(
+    corpus: DataFrame,
+    benchmarks: DataFrame,
+    n: int = 13,
+    threshold: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, benchmark_id, containment) — benchmark decontamination.
+
+    containment = |corpus-doc n-grams ∩ benchmark-doc n-grams| /
+    |benchmark-doc n-grams| — the ASYMMETRIC overlap every pretraining
+    pipeline checks before training: a 10-sentence eval question fully
+    quoted inside a 10-page document has Jaccard ≈ 0 but containment = 1,
+    which is exactly the leak.  Distinct word n-grams on both sides
+    (``word_shingles``); pairs with zero overlap produce no row.
+
+    Scale shape: the benchmark suite is tiny next to the corpus, so its
+    shingle set is BROADCAST and the shingle equi-join acts as a map-side
+    filter of corpus shingles down to benchmark n-grams before the
+    (doc, benchmark) aggregate — the corpus is never shuffled on shingle.
+    The denominator sizes aggregate runs over benchmark shingles only.
+    ``benchmarks`` carries the same (id_col, text_col) shape as the
+    corpus; its ids are reported as ``benchmark_id``.
+    """
+    corpus_sh = word_shingles(corpus, n=n, text_col=text_col, id_col=id_col)
+    bench_sh = word_shingles(benchmarks, n=n, text_col=text_col, id_col=id_col).select(
+        F.col("doc_id").alias("benchmark_id"), "shingle"
+    )
+    sizes = bench_sh.groupBy("benchmark_id").agg(F.count(F.lit(1)).alias("n_bench"))
+    inter = (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id", "benchmark_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = inter.join(F.broadcast(sizes), "benchmark_id").select(
+        "doc_id",
+        "benchmark_id",
+        (F.col("n_inter") / F.col("n_bench")).alias("containment"),
+    )
+    return out.filter(F.col("containment") >= threshold) if threshold > 0 else out
+
+
 # -------------------------------------------------- end-to-end resolution
 
 def near_dup_clusters(
@@ -302,7 +345,7 @@ def near_dup_clusters(
     rows_per_band: int = 4,
     threshold: float = 0.5,
     max_supersteps: int = 6,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 10_000,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -313,6 +356,16 @@ def near_dup_clusters(
     Output: (doc_id, cluster_id, is_canonical) — cluster_id is the min
     doc id in the duplicate cluster; keep ``is_canonical`` rows for the
     deduped corpus (``dedup_corpus``).
+
+    SAFE BY DEFAULT at scale: ``max_bucket_size`` defaults to 10_000 —
+    an uncapped LSH bucket with k members emits k²/2 pairs from one
+    reducer, and a real crawl has mega near-dup clusters.  Exact
+    duplicates are collapsed before banding (stage 1), so the cap only
+    ever bites clusters of genuinely distinct text.  When the cap drops
+    anything, the dropped set is NEVER silent: a WARNING log reports the
+    bucket/doc counts (``oversized_buckets`` on the same band frame
+    returns the full set).  Pass ``max_bucket_size=None`` to lift the cap
+    (exhaustive small-corpus runs / oracle comparisons).
 
     Stages (each individually scale-safe):
       1. collapse exact dups (hash-groupBy; min id is the representative)
@@ -350,9 +403,30 @@ def near_dup_clusters(
     # Measured: the persist variant was ~30% slower even at sf0.1.
     sh = word_shingles(reps, n=shingle_n)
     sig = minhash_signatures(sh, num_hashes=num_hashes)
-    pairs = lsh_candidate_pairs(
-        lsh_bands(sig, rows_per_band=rows_per_band), max_bucket_size=max_bucket_size
-    )
+    bands = lsh_bands(sig, rows_per_band=rows_per_band)
+    if max_bucket_size is not None:
+        # capped coverage must never be silent (module contract): one
+        # scalar aggregate over the oversized set — empty on healthy
+        # corpora, and Spark reuses the band-aggregate exchange the pair
+        # join builds anyway
+        import logging
+
+        row = (
+            oversized_buckets(bands, max_bucket_size)
+            .agg(
+                F.count(F.lit(1)).alias("n_buckets"),
+                F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs"),
+            )
+            .first()
+        )
+        if row["n_buckets"]:
+            logging.getLogger(__name__).warning(
+                "near_dup_clusters: %d LSH bucket(s) over max_bucket_size=%d "
+                "(%d doc slots) were skipped — near-dups inside them are NOT "
+                "paired; inspect with oversized_buckets(), or raise/lift the cap",
+                row["n_buckets"], max_bucket_size, row["n_docs"],
+            )
+    pairs = lsh_candidate_pairs(bands, max_bucket_size=max_bucket_size)
     verified = ngram_jaccard(
         reps, pairs=pairs, shingle_n=shingle_n, threshold=threshold, shingles=sh
     )

@@ -129,19 +129,30 @@ def personalized_pagerank(
     **runner_kwargs,
 ) -> PregelResult:
     """Personalized PageRank from a source set (uniform teleport over it).
-    Result state: (id, value=rank); ranks sum to 1 (±fp error)."""
+    Result state: (id, value=rank); ranks sum to 1 (±fp error).
+
+    Every source id must exist in the edge-derived vertex set: a missing
+    source would silently shrink the teleport vector below 1 and the ranks
+    would no longer sum to 1 despite this docstring's claim — checked with
+    one cheap isin count over the vertices and raised loudly instead."""
     if not source_ids:
         raise ValueError(
             "personalized_pagerank needs a non-empty source_ids — the "
             "teleport vector must sum to 1"
         )
     pr_edges, vertices = prepare_pagerank_graph(edges)
-    k = float(len(source_ids))
+    srcs = sorted({int(s) for s in source_ids})
+    present = vertices.filter(F.col("id").isin(srcs)).count()
+    if present != len(srcs):
+        raise ValueError(
+            f"personalized_pagerank: {len(srcs) - present} of {len(srcs)} "
+            "source_ids are not vertices of the graph — the teleport vector "
+            "would sum below 1; pass only ids that appear in the edge table"
+        )
+    k = float(len(srcs))
     vertices = vertices.withColumn(
         "p",
-        F.when(F.col("id").isin([int(s) for s in source_ids]), F.lit(1.0 / k)).otherwise(
-            F.lit(0.0)
-        ),
+        F.when(F.col("id").isin(srcs), F.lit(1.0 / k)).otherwise(F.lit(0.0)),
     )
     spec = personalized_pagerank_spec(damping=damping, tol=tol)
     spec.max_supersteps = max_supersteps
@@ -161,6 +172,14 @@ def prepare_pagerank_graph(
         (edge-weight-proportional rank flow; rows still sum to 1 per src,
         so the same spec/dangling treatment applies unchanged)
       vertices(id, is_dangling)
+
+    Weighted path: rank flow is a probability split, so edges whose
+    collapsed weight is ≤ 0 are dropped — a negative or zero weight has no
+    rank-flow interpretation, and dividing by a ≤ 0 weight sum would send
+    NaN/Inf (0.0/0.0, x/0.0) silently through every downstream rank.  A
+    source whose entire outflow is dropped keeps no out-edges and is
+    marked dangling (its mass redistributes), exactly like a vertex that
+    never had out-edges; the vertex itself stays in the graph.
     """
     if weighted:
         e = (
@@ -172,8 +191,9 @@ def prepare_pagerank_graph(
             .groupBy("src", "dst")
             .agg(F.sum("_w").alias("_w"))
         )
-        outdeg = e.groupBy("src").agg(F.sum("_w").alias("_wsum"))
-        pr_edges = e.join(outdeg, "src").select(
+        pos = e.filter(F.col("_w") > 0)
+        outdeg = pos.groupBy("src").agg(F.sum("_w").alias("_wsum"))
+        pr_edges = pos.join(outdeg, "src").select(
             "src", "dst", (F.col("_w") / F.col("_wsum")).alias("weight")
         )
     else:

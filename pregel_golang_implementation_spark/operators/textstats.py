@@ -46,20 +46,40 @@ def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, stopword_ratio, mean_token_len, alnum_ratio, quality) —
-    length/punct/stopword quality heuristics (Gopher-rules-style).
-    quality = 1 if all three gates pass."""
+    """(doc_id, stopword_ratio, mean_token_len, alnum_ratio,
+    dup_line_frac, top_bigram_frac, quality) — length/punct/stopword
+    heuristics PLUS the Gopher-style repetition signals (the most
+    predictive junk filters in practice):
+
+      dup_line_frac   = 1 − distinct non-blank lines / non-blank lines
+                        (boilerplate/navigation pages repeat lines)
+      top_bigram_frac = occurrences of the most frequent word 2-gram /
+                        total word 2-grams (degenerate "spam spam spam…"
+                        text → 1.0)
+
+    quality = 1 iff all gates pass: 2 ≤ mean_token_len ≤ 12,
+    alnum_ratio ≥ 0.5, dup_line_frac ≤ 0.3, top_bigram_frac ≤ 0.2 (the
+    published Gopher thresholds for the last two).
+
+    Shape: the length/char signals are pure projection; the bigram mode
+    is an explode + two doc-keyed aggregates (a mode inside an array has
+    no builtin), left-joined back — all JVM-side, keys uniform in doc_id.
+    """
     all_stop = sorted({w for ws in LANG_MARKERS.values() for w in ws})
     toked = docs.select(
         F.col(id_col).alias(id_col),
         F.col(text_col).alias(text_col),
         _tokens(text_col).alias("_toks"),  # own projection: split runs once
+        F.filter(
+            F.split(F.col(text_col), "\n"), lambda x: F.trim(x) != ""
+        ).alias("_lines"),
     )
     toks = F.col("_toks")
+    lines = F.col("_lines")
     n_tok = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda t: t.isin(all_stop)))
     alnum = F.length(F.regexp_replace(F.col(text_col), r"[^\p{L}\p{N}]", ""))
-    return toked.select(
+    base = toked.select(
         F.col(id_col).alias("doc_id"),
         F.round(n_stop / F.greatest(n_tok, F.lit(1)), 6).alias("stopword_ratio"),
         F.round(
@@ -70,12 +90,47 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
         F.round(alnum / F.greatest(F.length(F.col(text_col)), F.lit(1)), 6).alias(
             "alnum_ratio"
         ),
+        F.when(
+            F.size(lines) > 0,
+            F.round(
+                F.lit(1.0) - F.size(F.array_distinct(lines)) / F.size(lines), 6
+            ),
+        ).otherwise(F.lit(0.0)).alias("dup_line_frac"),
+    )
+    bigram_arr = F.when(
+        n_tok >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n_tok - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, (i + 1).cast("int")),
+                F.element_at(toks, (i + 2).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg_counts = (
+        toked.select(F.col(id_col).alias("doc_id"), F.explode(bigram_arr).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top_bg = bg_counts.groupBy("doc_id").agg(
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac")
+    )
+    return base.join(top_bg, "doc_id", "left").select(
+        "doc_id",
+        "stopword_ratio",
+        "mean_token_len",
+        "alnum_ratio",
+        "dup_line_frac",
+        F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
     ).withColumn(
         "quality",
         (
             (F.col("mean_token_len") >= 2)
             & (F.col("mean_token_len") <= 12)
             & (F.col("alnum_ratio") >= 0.5)
+            & (F.col("dup_line_frac") <= 0.3)
+            & (F.col("top_bigram_frac") <= 0.2)
         ).cast("int"),
     )
 

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from pregel_golang_implementation_spark.plans.spec import AlgorithmSpec
 
 STATE_SCHEMA_DOC = "state(id: long, value: double, active: boolean, *static)"
+MAX_STEPS_PER_ACTION = 6  # in-block plan doubles per chained step
 
 
 @dataclass
@@ -125,6 +126,20 @@ class PregelRunner:
         # no messages → no change) and are trimmed from the result.
         if steps_per_action > 1 and spec.global_aggs:
             steps_per_action = 1  # globals need a driver read every step
+        if steps_per_action > MAX_STEPS_PER_ACTION:
+            # each chained step references the previous state twice, so the
+            # analyzed plan DOUBLES per step within a block — past ~6
+            # unbroken steps Catalyst analysis cost turns exponential (the
+            # same hazard lineage_break_every guards across blocks)
+            import warnings
+
+            warnings.warn(
+                f"steps_per_action={steps_per_action} exceeds the safe "
+                f"unbroken-plan depth; clamping to {MAX_STEPS_PER_ACTION} "
+                "(the in-block plan doubles per chained step)",
+                stacklevel=2,
+            )
+            steps_per_action = MAX_STEPS_PER_ACTION
         self.steps_per_action = max(1, steps_per_action)
 
     # ----------------------------------------------------------------- setup

@@ -29,9 +29,12 @@ MsgFn = Callable[[Column, Column, dict], Column]
 # msgs DataFrame(id, msg) -> DataFrame(id, msg, msg_count); exactly one row per id
 CombineFn = Callable[[DataFrame], DataFrame]
 # (old_value, combined_msg_or_null, globals as COLUMNS) -> new value.
-# Globals reach apply as column references over a broadcast 1-row frame —
-# never embed a per-superstep scalar as F.lit() in apply, or codegen
-# recompiles every stage every superstep (see runner._one_superstep).
+# Globals reach apply as Column expressions: per-superstep F.lit()
+# literals BY DEFAULT — measured faster here despite recompiling codegen
+# every superstep — with a broadcast 1-row-frame column mode behind
+# PREGEL_GLOBALS_MODE=column for clusters where driver-side compilation
+# is the scarcer resource.  See the A/B note in runner._one_superstep
+# before "optimizing" either path away.
 ApplyFn = Callable[[Column, Column, dict], Column]
 # (old_value, new_value, combined_msg_or_null) -> active boolean
 ActiveFn = Callable[[Column, Column, Column], Column]

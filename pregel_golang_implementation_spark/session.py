@@ -12,11 +12,15 @@ import os
 from pyspark.sql import SparkSession
 
 
+MIN_TMPFS_FREE_BYTES = 8 << 30  # don't point spills at a nearly-full tmpfs
+
+
 def get_spark(
     app_name: str = "pregel-spark",
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    tmpfs_local_dir: bool = False,
 ) -> SparkSession:
     """Build a local session tuned for iterative graph jobs.
 
@@ -31,15 +35,21 @@ def get_spark(
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     if shuffle_partitions is None:
         shuffle_partitions = max(8, cores)
-    # Shuffle/spill files on tmpfs when available: local-mode shuffles are
-    # disk-I/O-bound through one device, which neither speeds up nor
-    # scales with more threads; tmpfs measured +6-11% absolute and +0.03
-    # scaling efficiency (BENCH/BASELINE.md §2). On a real cluster the
-    # equivalent is pointing spark.local.dir at striped local NVMe.
-    # Override with SPARK_GRAFT_LOCAL_DIR (empty string disables).
+    # Shuffle/spill files on tmpfs are an OPT-IN for bench/tooling sessions
+    # whose shuffle volume is known-bounded (tmpfs_local_dir=True; measured
+    # +6-11% absolute and +0.03 scaling efficiency, BENCH/BASELINE.md §2).
+    # NOT the library default: spill exists precisely for data that doesn't
+    # fit in RAM, and a RAM-backed spill dir turns "spills to disk" into
+    # ENOSPC/OOM for any job whose shuffle exceeds free /dev/shm.  Even
+    # when opted in, fall back to disk unless tmpfs has headroom.  On a
+    # real cluster the equivalent is pointing spark.local.dir at striped
+    # local NVMe.  SPARK_GRAFT_LOCAL_DIR overrides either way (explicit
+    # path, or empty string to force disk).
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
-    if local_dir is None and os.path.isdir("/dev/shm"):
-        local_dir = "/dev/shm/pregel-spark-local"
+    if local_dir is None and tmpfs_local_dir and os.path.isdir("/dev/shm"):
+        st = os.statvfs("/dev/shm")
+        if st.f_bavail * st.f_frsize >= MIN_TMPFS_FREE_BYTES:
+            local_dir = "/dev/shm/pregel-spark-local"
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)

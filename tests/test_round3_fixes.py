@@ -1,0 +1,170 @@
+"""Round-3 items: benchmark decontamination, repetition quality signals,
+default-safe near-dup caps, weighted/personalized PageRank validation.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pregel_golang_implementation_spark.operators.dedup import ngram_containment
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ngram_containment_planted(spark):
+    """A benchmark doc fully quoted inside a big corpus doc must score
+    containment 1.0 even though Jaccard is tiny; partial overlap scores
+    the overlap fraction; disjoint docs produce no row."""
+    bench_text = "the quick brown fox jumps over the lazy dog"
+    benchmarks = _df(spark, [(0, bench_text)])
+    filler = " ".join(f"w{i}" for i in range(60))
+    corpus = _df(
+        spark,
+        [
+            # full quote buried in filler → every benchmark 3-gram present
+            (100, filler + " " + bench_text + " " + filler),
+            # only the first 5 words → 3 of the 7 benchmark 3-grams
+            (101, "the quick brown fox jumps " + filler),
+            # disjoint
+            (102, filler),
+        ],
+    )
+    got = {
+        (r["doc_id"], r["benchmark_id"]): r["containment"]
+        for r in ngram_containment(corpus, benchmarks, n=3).collect()
+    }
+    assert got[(100, 0)] == pytest.approx(1.0)
+    assert got[(101, 0)] == pytest.approx(3 / 7)
+    assert (102, 0) not in got
+
+
+def test_ngram_containment_asymmetric_vs_jaccard(spark):
+    """Containment is per-benchmark-denominator: the same overlap scores
+    differently against a small and a large benchmark doc."""
+    a = "alpha beta gamma delta"  # 2 3-grams
+    b = "alpha beta gamma delta epsilon zeta eta theta"  # 6 3-grams
+    benchmarks = _df(spark, [(0, a), (1, b)])
+    corpus = _df(spark, [(100, "alpha beta gamma delta " + " ".join(f"x{i}" for i in range(20)))])
+    got = {
+        (r["doc_id"], r["benchmark_id"]): r["containment"]
+        for r in ngram_containment(corpus, benchmarks, n=3).collect()
+    }
+    assert got[(100, 0)] == pytest.approx(1.0)
+    assert got[(100, 1)] == pytest.approx(2 / 6)
+
+
+def test_quality_repetition_signals(spark):
+    """Gopher-style repetition gates: a degenerate repetitive document
+    scores quality 0 via top_bigram_frac; duplicated lines score via
+    dup_line_frac; a normal document passes all gates."""
+    from pregel_golang_implementation_spark.operators.textstats import quality_score
+
+    normal = "the quick brown fox jumps over a lazy dog near the old river bank today"
+    spammy = " ".join(["buy now"] * 30)  # one bigram dominates
+    repeated_lines = "\n".join(["same boilerplate line here"] * 10 + ["unique closing line"])
+    docs = _df(spark, [(1, normal), (2, spammy), (3, repeated_lines)])
+    got = {r["doc_id"]: r.asDict() for r in quality_score(docs).collect()}
+
+    assert got[1]["quality"] == 1
+    assert got[1]["dup_line_frac"] == 0.0
+    assert got[1]["top_bigram_frac"] <= 0.2
+
+    assert got[2]["quality"] == 0
+    assert got[2]["top_bigram_frac"] > 0.5  # "now buy" + "buy now" split the mass
+
+    assert got[3]["quality"] == 0
+    assert got[3]["dup_line_frac"] == pytest.approx(1 - 2 / 11)
+
+
+def test_ngram_containment_threshold(spark):
+    benchmarks = _df(spark, [(0, "a b c d e f")])
+    corpus = _df(spark, [(100, "a b c zzz"), (101, "a b c d e f")])
+    got = ngram_containment(corpus, benchmarks, n=3, threshold=0.9).collect()
+    assert [(r["doc_id"], r["benchmark_id"]) for r in got] == [(101, 0)]
+
+
+def test_weighted_pagerank_nonpositive_weights(spark):
+    """A src whose weights sum to 0 (or are negative) must not inject
+    NaN/Inf: its non-positive edges are dropped, it becomes dangling, and
+    total rank mass still sums to 1."""
+    import math
+
+    from pregel_golang_implementation_spark.operators.pagerank import pagerank
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2, 3.0),
+            (2, 3, 1.0),
+            (3, 1, 2.0),
+            (4, 1, 5.0), (4, 2, -5.0),  # mixed: negative edge dropped, 5.0 kept
+            (5, 1, 2.0), (5, 2, -2.0),  # per-pair rows, sums stay positive per edge
+            (6, 1, 0.0),                # zero-outflow src -> dangling
+        ],
+        "src long, dst long, weight double",
+    )
+    res = pagerank(spark, edges, weighted=True, tol=1e-10)
+    rows = res.state.collect()
+    assert all(math.isfinite(r["value"]) for r in rows)
+    assert sum(r["value"] for r in rows) == pytest.approx(1.0, abs=1e-9)
+    dangling = {r["id"] for r in rows if r["is_dangling"]}
+    assert 6 in dangling  # zero outflow -> mass redistributes, not vanishes
+    assert 6 in {r["id"] for r in rows}  # the vertex itself is kept
+
+
+def test_ppr_rejects_missing_source(spark):
+    from pregel_golang_implementation_spark.operators.pagerank import (
+        personalized_pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 1, 1.0)], "src long, dst long, weight double"
+    )
+    with pytest.raises(ValueError, match="not vertices"):
+        personalized_pagerank(spark, edges, source_ids=[1, 999])
+
+
+def test_steps_per_action_clamped(spark):
+    from pregel_golang_implementation_spark.operators.connected_components import cc_spec
+    from pregel_golang_implementation_spark.plans.runner import (
+        MAX_STEPS_PER_ACTION,
+        PregelRunner,
+    )
+
+    with pytest.warns(UserWarning, match="clamping"):
+        r = PregelRunner(spark, cc_spec(), steps_per_action=10)
+    assert r.steps_per_action == MAX_STEPS_PER_ACTION
+
+
+def test_near_dup_default_cap_reports_dropped(spark, caplog):
+    """The default-capped composition must surface capped coverage (never
+    silent) and, when nothing is capped, match the uncapped result."""
+    import logging
+
+    from pregel_golang_implementation_spark.operators.dedup import near_dup_clusters
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = _df(
+        spark,
+        [(i, base + f" tail{i}") for i in range(8)] + [(100, "totally different words here")],
+    )
+    with caplog.at_level(logging.WARNING):
+        capped = near_dup_clusters(docs, threshold=0.3, max_bucket_size=2)
+        capped.count()
+    assert any("skipped" in r.message for r in caplog.records)
+
+    caplog.clear()
+    with caplog.at_level(logging.WARNING):
+        default = {
+            (r["doc_id"], r["cluster_id"])
+            for r in near_dup_clusters(docs, threshold=0.3).collect()
+        }
+    assert not any("skipped" in r.message for r in caplog.records)
+    uncapped = {
+        (r["doc_id"], r["cluster_id"])
+        for r in near_dup_clusters(docs, threshold=0.3, max_bucket_size=None).collect()
+    }
+    assert default == uncapped
+    assert any(c == 0 and d != 0 for d, c in default)  # the near-dups clustered

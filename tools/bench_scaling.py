@@ -75,6 +75,7 @@ def run_worker(cores: int, num_vertices: int, avg_degree: int, supersteps: int) 
         cores=cores,
         shuffle_partitions=NUM_PARTITIONS,
         extra_conf=extra,
+        tmpfs_local_dir=True,  # bounded shuffle volume; headroom-checked
     )
     pr_edges = spark.read.parquet(os.path.join(GRAPH_DIR, "pr_edges"))
     vertices = spark.read.parquet(os.path.join(GRAPH_DIR, "vertices"))
