@@ -45,6 +45,7 @@ from pregel_golang_implementation_spark.operators.pagerank import (
 )
 from pregel_golang_implementation_spark.operators.similarity import (
     ann_candidates,
+    ann_topk,
     cosine_topk,
     embedding_near_dups,
     srp_buckets,
@@ -289,6 +290,18 @@ def q_ann_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_candidates(_emb(spark, sf_dir), bits=8)
 
 
+ANN_BITS = 6
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-k: exact cosine within the query's SRP
+    bucket only (recall < 1 by design; the 2^bits-smaller scale path)."""
+    out = ann_topk(_emb(spark, sf_dir), KNN_QUERY_IDS, k=KNN_K, bits=ANN_BITS, round_to=5)
+    return out.select(
+        "query_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank (teleport to the min-orderkey vertex),
     PR_ITERS supersteps."""
@@ -393,6 +406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_candidates": q_jaccard_candidates,
         "dedup_resolve": q_dedup_resolve,
         "ann_candidates": q_ann_candidates,
+        "ann_topk": q_ann_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "decontaminate": q_decontaminate,
         "pagerank_top10": q_pagerank_top10,
@@ -750,6 +764,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM bk a "
             "JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id"
         ),
+        "ann_topk": _ann_topk_sql(),
         "embedding_near_dups": _embedding_near_dups_sql(threshold=0.2),
         "decontaminate": (
             f"WITH {_SHINGLES}, "
@@ -857,6 +872,26 @@ def _knn_sql() -> str:
         "scored AS (SELECT query_id, neighbor_id, "
         f"CAST(ROUND({dot} / ({nq} * {nc}), 5) AS DOUBLE) AS sim FROM q, c "
         "WHERE query_id <> neighbor_id), "
+        "ranked AS (SELECT query_id, neighbor_id, sim, ROW_NUMBER() OVER "
+        "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored) "
+        f"SELECT query_id, neighbor_id, sim, rank::BIGINT AS rank FROM ranked WHERE rank <= {KNN_K}"
+    )
+
+
+def _ann_topk_sql(bits: int = ANN_BITS) -> str:
+    ids = ", ".join(str(i) for i in KNN_QUERY_IDS)
+    dot = "list_aggregate([qv[i]::DOUBLE * cv[i]::DOUBLE for i in generate_series(1, len(qv))], 'sum')"
+    nq = "sqrt(list_aggregate([qv[i]::DOUBLE * qv[i]::DOUBLE for i in generate_series(1, len(qv))], 'sum'))"
+    nc = "sqrt(list_aggregate([cv[i]::DOUBLE * cv[i]::DOUBLE for i in generate_series(1, len(cv))], 'sum'))"
+    return (
+        "WITH bk AS (" + _srp_sql(bits) + "), "
+        f"q AS (SELECT e.vec_id AS query_id, e.embedding AS qv, bk.bucket "
+        f"FROM embeddings e JOIN bk ON bk.vec_id = e.vec_id WHERE e.vec_id IN ({ids})), "
+        "c AS (SELECT e.vec_id AS neighbor_id, e.embedding AS cv, bk.bucket "
+        "FROM embeddings e JOIN bk ON bk.vec_id = e.vec_id), "
+        "scored AS (SELECT query_id, neighbor_id, "
+        f"CAST(ROUND({dot} / ({nq} * {nc}), 5) AS DOUBLE) AS sim "
+        "FROM q JOIN c ON q.bucket = c.bucket WHERE query_id <> neighbor_id), "
         "ranked AS (SELECT query_id, neighbor_id, sim, ROW_NUMBER() OVER "
         "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored) "
         f"SELECT query_id, neighbor_id, sim, rank::BIGINT AS rank FROM ranked WHERE rank <= {KNN_K}"

@@ -43,17 +43,24 @@ def cc_spec(max_supersteps: int = 100) -> AlgorithmSpec:
     )
 
 
-def symmetrize(edges: DataFrame) -> DataFrame:
+def symmetrize(edges: DataFrame, dedup: bool = True) -> DataFrame:
     """Undirected view: emit both directions, dedup.  Mirrors the reference
     fixtures' symmetric adjacency (Test/generate.py:26-30) without assuming
     the input already is (the reference engine silently requires it —
-    receiver-side weight lookup, Vertex.go:74)."""
+    receiver-side weight lookup, Vertex.go:74).
+
+    ``dedup=False`` skips the dropDuplicates — a full shuffle+aggregate of
+    the doubled edge table.  Safe whenever the consumer is
+    multiplicity-insensitive: an IDEMPOTENT combiner (min/max) computes
+    identical values from duplicated messages, so CC can scatter over the
+    raw doubled list (duplicates only inflate the messages_sent counter).
+    Multiplicity-SENSITIVE combiners (LPA's mode vote, PageRank's sum)
+    must keep the dedup or duplicated edges double-vote/double-ship."""
     e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
-    return (
-        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .filter(F.col("src") != F.col("dst"))
-        .dropDuplicates(["src", "dst"])
-    )
+    out = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).filter(F.col("src") != F.col("dst"))
+    return out.dropDuplicates(["src", "dst"]) if dedup else out
 
 
 def connected_components(
@@ -62,8 +69,14 @@ def connected_components(
     max_supersteps: int = 100,
     **runner_kwargs,
 ) -> PregelResult:
-    """Result state: (id, value=component id = min vertex id in component)."""
-    und = symmetrize(edges)
+    """Result state: (id, value=component id = min vertex id in component).
+
+    The undirected view skips edge dedup (``symmetrize(dedup=False)``):
+    min-combine is idempotent, so duplicate edges yield identical labels —
+    and the dropDuplicates would be a full extra shuffle of the doubled
+    edge table before the first superstep.  messages_sent counts raw
+    (possibly duplicated) messages."""
+    und = symmetrize(edges, dedup=False)
     runner = PregelRunner(spark, cc_spec(max_supersteps), **runner_kwargs)
     return runner.run(und)
 
@@ -88,7 +101,7 @@ def incremental_connected_components(
     therefore for the new graph, whose components only ever merge as
     edges are added (edge deletions need a full re-run).
     """
-    und = symmetrize(edges)
+    und = symmetrize(edges, dedup=False)  # min-combine: dup edges harmless
     vertices = PregelRunner.vertices_from_edges(und)
     seeded = (
         vertices.join(

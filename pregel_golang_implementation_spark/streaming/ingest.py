@@ -122,6 +122,9 @@ def streaming_dedup_docs(
     id_col: str = "doc_id",
     text_col: str = "text",
     query_name: str = "stream_dedup",
+    sink: str = "memory",
+    output_dir: str | None = None,
+    checkpoint_dir: str | None = None,
 ):
     """Cross-batch STREAMING exact dedup as a custom stateful operator
     (``applyInPandasWithState``): per content-hash state counts how many
@@ -138,7 +141,18 @@ def streaming_dedup_docs(
     GroupState form is the extension point for richer policies — keep-
     shortest, quality-gated, count-weighted — that built-ins cannot.)
 
-    Memory sink for local verification; returns the started query.
+    Sinks: ``sink="memory"`` (default) keeps results in a queryable
+    in-memory table — local verification only.  ``sink="parquet"`` is the
+    deployable path: foreachBatch writes each micro-batch's first-ever
+    docs to ``output_dir/epoch=<id>/`` with per-epoch OVERWRITE, so a
+    replayed batch (failure recovery) rewrites its own epoch directory
+    instead of appending duplicates — idempotent, effectively
+    exactly-once downstream without a transactional table format.
+    Readers do ``spark.read.parquet(output_dir)`` (the epoch shows up as
+    a partition column).  Requires ``output_dir`` and ``checkpoint_dir``
+    (the checkpoint carries BOTH the source offsets and the dedup
+    GroupState, so a restarted query resumes suppression across
+    restarts).  Returns the started query.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -170,6 +184,29 @@ def streaming_dedup_docs(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+    if sink == "parquet":
+        if not output_dir or not checkpoint_dir:
+            raise ValueError(
+                "sink='parquet' needs output_dir and checkpoint_dir "
+                "(offsets + dedup state live in the checkpoint)"
+            )
+
+        def write_batch(batch: DataFrame, epoch_id: int) -> None:
+            if batch.isEmpty():
+                return
+            batch.write.mode("overwrite").parquet(
+                os.path.join(output_dir, f"epoch={epoch_id}")
+            )
+
+        return (
+            out.writeStream.outputMode("append")
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .queryName(query_name)
+            .start()
+        )
+    if sink != "memory":
+        raise ValueError(f"unknown sink {sink!r} (memory | parquet)")
     return (
         out.writeStream.outputMode("append")
         .format("memory")

@@ -138,6 +138,49 @@ def test_steps_per_action_clamped(spark):
     assert r.steps_per_action == MAX_STEPS_PER_ACTION
 
 
+def test_streaming_dedup_parquet_sink_across_restart(spark, tmp_path):
+    """Production sink: first-ever docs land in parquet (per-epoch
+    overwrite), and the dedup GroupState survives a full query RESTART via
+    the checkpoint — a cross-batch duplicate after restart is suppressed."""
+    from pyspark.sql import types as T
+
+    from pregel_golang_implementation_spark.streaming import streaming_dedup_docs
+
+    src = str(tmp_path / "doc_stream")
+    out_dir = str(tmp_path / "deduped")
+    ck = str(tmp_path / "dedup_ck")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("text", T.StringType(), False),
+        ]
+    )
+    spark.createDataFrame(
+        [(1, "alpha beta"), (0, "alpha beta"), (2, "gamma delta")],
+        "doc_id long, text string",
+    ).write.parquet(src + "/b1")
+    q = streaming_dedup_docs(
+        spark, src + "/*", schema, sink="parquet", output_dir=out_dir, checkpoint_dir=ck
+    )
+    q.processAllAvailable()
+    q.stop()  # full restart below — state must come back from the checkpoint
+
+    spark.createDataFrame(
+        [(7, "alpha beta"), (9, "epsilon zeta")], "doc_id long, text string"
+    ).write.parquet(src + "/b2")
+    q2 = streaming_dedup_docs(
+        spark, src + "/*", schema, sink="parquet", output_dir=out_dir, checkpoint_dir=ck
+    )
+    q2.processAllAvailable()
+    q2.stop()
+
+    got = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(out_dir).select("doc_id", "text").collect()
+    }
+    assert got == {0: "alpha beta", 2: "gamma delta", 9: "epsilon zeta"}
+
+
 def test_near_dup_default_cap_reports_dropped(spark, caplog):
     """The default-capped composition must surface capped coverage (never
     silent) and, when nothing is capped, match the uncapped result."""

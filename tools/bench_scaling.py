@@ -13,8 +13,13 @@ enough that local[32] is not scheduler-bound — BASELINE.md note).
 Usage:
   python tools/bench_scaling.py worker <cores> <num_vertices> <avg_degree> <supersteps>
       → prints one JSON line
+  python tools/bench_scaling.py vanilla <cores>
+      → bare-shuffle platform-ceiling probe, one JSON line
   python tools/bench_scaling.py [N] [vertices] [degree] [steps]
-      → orchestrates both levels (N and 4N), writes BENCH/scaling_latest.{json,md}
+      → orchestrates both levels (N and 4N) ×3 interleaved repeats plus the
+        vanilla ceiling pair; headline = MEDIAN of per-repeat paired
+        efficiencies, protocol number = best-per-level (r1/r2-comparable);
+        writes BENCH/scaling_latest.{json,md}
         (BENCH/BASELINE.md and scaling_r{N}.json are curated by hand)
 """
 
@@ -117,17 +122,51 @@ def run_worker(cores: int, num_vertices: int, avg_degree: int, supersteps: int) 
     spark.stop()
 
 
-def _run_worker(cores: int, num_vertices: int, avg_degree: int, supersteps: int) -> dict:
+def vanilla_worker(cores: int, rows: int = 100_000_000, rounds: int = 5) -> None:
+    """Same-day PLATFORM CEILING probe: a bare vanilla-Spark shuffle
+    (range → groupBy → sum) with no engine code at all, at the same
+    partitioning as the PageRank job.  Whatever scaling efficiency THIS
+    job achieves is the ceiling this shared VM's shuffle machinery allows
+    today — the engine's number is judged against it, not against an
+    idealized 1.0."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from pregel_golang_implementation_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"vanilla-{cores}",
+        cores=cores,
+        shuffle_partitions=NUM_PARTITIONS,
+        tmpfs_local_dir=True,
+    )
+    df = spark.range(rows, numPartitions=NUM_PARTITIONS).select(
+        (F.col("id") % 10_000_000).alias("k"), F.col("id").alias("v")
+    )
+    walls = []
+    for _ in range(rounds):
+        t0 = time.monotonic()
+        df.groupBy("k").agg(F.sum("v")).agg(F.count(F.lit(1))).first()
+        walls.append(time.monotonic() - t0)
+    med = statistics.median(walls[1:] if len(walls) > 2 else walls)  # drop warmup
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "rows": rows,
+                "per_round_secs": [round(w, 2) for w in walls],
+                "median_round_secs": round(med, 3),
+                "rows_per_sec": round(rows / med, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+def _spawn(args: list[str], label: str) -> dict:
     out = subprocess.run(
-        [
-            sys.executable,
-            os.path.abspath(__file__),
-            "worker",
-            str(cores),
-            str(num_vertices),
-            str(avg_degree),
-            str(supersteps),
-        ],
+        [sys.executable, os.path.abspath(__file__), *args],
         capture_output=True,
         text=True,
         timeout=3600,
@@ -136,23 +175,54 @@ def _run_worker(cores: int, num_vertices: int, avg_degree: int, supersteps: int)
     line = [l for l in out.stdout.splitlines() if l.startswith("{")]
     if not line:
         sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:] + "\n")
-        raise SystemExit(f"worker {cores} produced no result")
+        raise SystemExit(f"{label} produced no result")
     return json.loads(line[-1])
 
 
+def _run_worker(cores: int, num_vertices: int, avg_degree: int, supersteps: int) -> dict:
+    return _spawn(
+        ["worker", str(cores), str(num_vertices), str(avg_degree), str(supersteps)],
+        f"worker {cores}",
+    )
+
+
 def orchestrate(
-    n_cores: int, num_vertices: int, avg_degree: int, supersteps: int, repeats: int = 2
+    n_cores: int, num_vertices: int, avg_degree: int, supersteps: int, repeats: int = 3
 ) -> None:
     # INTERLEAVE the two levels (N, 4N, N, 4N, ...) so slow drift in this
-    # shared VM's available throughput hits both levels equally; keep the
-    # best repeat per level (both levels get the same benefit of the doubt)
+    # shared VM's available throughput hits both levels equally.  Two
+    # numbers come out (r2 verdict #6):
+    #   - MEDIAN of per-repeat paired efficiencies — the headline (robust
+    #     to one noisy window, leans on no cross-repeat pairing);
+    #   - best-per-level protocol number — kept for r1/r2 comparability.
+    # A bare vanilla-shuffle pair runs inside each repeat too: its median
+    # efficiency is the same-day platform ceiling the gate compares against.
+    import statistics
+
     results: dict[int, list[dict]] = {n_cores: [], 4 * n_cores: []}
+    vanilla: dict[int, list[dict]] = {n_cores: [], 4 * n_cores: []}
     for _ in range(repeats):
         for cores in (n_cores, 4 * n_cores):
             r = _run_worker(cores, num_vertices, avg_degree, supersteps)
             results[cores].append(r)
             print(f"local[{cores}]: {r}")
+        for cores in (n_cores, 4 * n_cores):
+            v = _spawn(["vanilla", str(cores)], f"vanilla {cores}")
+            vanilla[cores].append(v)
+            print(f"vanilla[{cores}]: {v}")
 
+    pair_effs = [
+        results[4 * n_cores][i]["edges_per_sec"]
+        / (4 * results[n_cores][i]["edges_per_sec"])
+        for i in range(repeats)
+    ]
+    median_eff = statistics.median(pair_effs)
+    vanilla_effs = [
+        vanilla[4 * n_cores][i]["rows_per_sec"]
+        / (4 * vanilla[n_cores][i]["rows_per_sec"])
+        for i in range(repeats)
+    ]
+    vanilla_median = statistics.median(vanilla_effs)
     lo = max(results[n_cores], key=lambda r: r["edges_per_sec"])
     hi = max(results[4 * n_cores], key=lambda r: r["edges_per_sec"])
     eff = hi["edges_per_sec"] / (4 * lo["edges_per_sec"])
@@ -167,9 +237,16 @@ def orchestrate(
         "low": lo,
         "high": hi,
         "all_runs": {str(k): v for k, v in results.items()},
+        "per_repeat_efficiency": [round(e, 3) for e in pair_effs],
+        "median_efficiency": round(median_eff, 3),
+        "vanilla_runs": {str(k): v for k, v in vanilla.items()},
+        "vanilla_per_repeat_efficiency": [round(e, 3) for e in vanilla_effs],
+        "vanilla_median_efficiency": round(vanilla_median, 3),
         "scaling_efficiency": round(eff, 3),
-        "criterion": "eff = T(4N)/(4*T(N)) >= 0.8",
+        "criterion": "protocol eff = T(4N)/(4*T(N)) >= 0.8",
         "pass": eff >= 0.8,
+        "regression_gate": "median >= 0.62 and median >= same-day vanilla ceiling",
+        "regression_pass": median_eff >= 0.62 and median_eff >= vanilla_median,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     # write to *_latest — BENCH/BASELINE.md and the per-round scaling_rN
@@ -183,18 +260,27 @@ cluster in this sandbox): the same PageRank job (fixed {supersteps}
 supersteps, identical seeded input: {lo["n_vertices"]:,} vertices /
 {lo["n_edges"]:,} directed edges, partitioning fixed at 128 at both levels
 so the physical plan is identical) run at two parallelism levels in
-separate JVMs, levels interleaved across repeats.  Throughput = sustained
-(median) per-superstep rate — this shared VM injects ±2× step-time noise
-(GC/steal), so medians + best-of-interleaved-repeats per level; every raw
-step wall is in `BENCH/scaling_latest.json`.
+separate JVMs, levels interleaved across {repeats} repeats.  Throughput =
+sustained (median) per-superstep rate — this shared VM injects ±2×
+step-time noise (GC/steal); every raw step wall is in
+`BENCH/scaling_latest.json`.
 
 | parallelism | median superstep (s) | edges/sec | supersteps/min |
 |---|---|---|---|
 | local[{n_cores}] | {lo["median_superstep_secs"]} | {lo["edges_per_sec"]:,} | {lo["supersteps_per_min"]} |
 | local[{4 * n_cores}] | {hi["median_superstep_secs"]} | {hi["edges_per_sec"]:,} | {hi["supersteps_per_min"]} |
+(best repeat per level shown; all repeats in the JSON)
 
-**Scaling efficiency** = T(4N) / (4 × T(N)) = {hi["edges_per_sec"]:,} / (4 × {lo["edges_per_sec"]:,})
-= **{eff:.3f}** — criterion ≥ 0.8: **{"PASS" if eff >= 0.8 else "FAIL"}**.
+**Headline (median of per-repeat paired efficiencies)**:
+{", ".join(f"{e:.3f}" for e in pair_effs)} → median = **{median_eff:.3f}**.
+Same-day vanilla-Spark-shuffle platform ceiling (bare range→groupBy→sum,
+same partitioning, interleaved with the repeats): median = **{vanilla_median:.3f}**
+({", ".join(f"{e:.3f}" for e in vanilla_effs)}).
+Regression gate — median ≥ 0.62 AND ≥ ceiling: **{"PASS" if report["regression_pass"] else "FAIL"}**.
+
+**Protocol number (best-per-level, r1/r2-comparable)** = T(4N) / (4 × T(N))
+= {hi["edges_per_sec"]:,} / (4 × {lo["edges_per_sec"]:,}) = **{eff:.3f}** —
+criterion ≥ 0.8: **{"PASS" if eff >= 0.8 else "FAIL"}**.
 
 Throughput definition (BASELINE.md): edges/sec = directed edges ×
 supersteps executed / wall seconds.  Raw numbers: `BENCH/scaling_latest.json`.
@@ -208,6 +294,8 @@ Reproduce: `python tools/bench_scaling.py {n_cores} {num_vertices} {avg_degree} 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "worker":
         run_worker(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]), int(sys.argv[5]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "vanilla":
+        vanilla_worker(int(sys.argv[2]))
     else:
         n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
         v = int(sys.argv[2]) if len(sys.argv) > 2 else 700_000
