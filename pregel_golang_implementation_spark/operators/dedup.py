@@ -405,10 +405,16 @@ def near_dup_clusters(
     sig = minhash_signatures(sh, num_hashes=num_hashes)
     bands = lsh_bands(sig, rows_per_band=rows_per_band)
     if max_bucket_size is not None:
-        # capped coverage must never be silent (module contract): one
-        # scalar aggregate over the oversized set — empty on healthy
-        # corpora, and Spark reuses the band-aggregate exchange the pair
-        # join builds anyway
+        # capped coverage must never be silent (module contract) — and on
+        # a HEALTHY corpus it must also be free.  The occupancy report
+        # runs as one eager scalar aggregate (≈ one bands pass); if NO
+        # bucket exceeds the cap — the common case once exact dups are
+        # collapsed — the pair join keeps the exact uncapped plan (the
+        # cap semi-join would change pairs' plan identity for all four of
+        # its downstream consumptions and measured +8s on a 5k-doc
+        # resolve even with the filter side cached/broadcast).  Only a
+        # corpus that actually HAS oversized buckets pays the semi-join,
+        # where it is precisely what prevents the k²/2 reducer blow-up.
         import logging
 
         row = (
@@ -426,6 +432,8 @@ def near_dup_clusters(
                 "paired; inspect with oversized_buckets(), or raise/lift the cap",
                 row["n_buckets"], max_bucket_size, row["n_docs"],
             )
+        else:
+            max_bucket_size = None  # nothing to cap: keep the uncapped plan
     pairs = lsh_candidate_pairs(bands, max_bucket_size=max_bucket_size)
     verified = ngram_jaccard(
         reps, pairs=pairs, shingle_n=shingle_n, threshold=threshold, shingles=sh
