@@ -1,12 +1,18 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched mapInPandas.
 
-The image/audio decode libraries are NOT in this container — the decode
-step is STUBBED (deterministic fake features derived from the raw bytes,
-clearly marked) while everything Spark-side is real and tested: the
-schema, the binary column handling, the Arrow batch shape, the UDF
-signatures, and the partitioning.  Swap `_fake_decode_*` for
-PIL/torchaudio calls in a real deployment — nothing else changes.
+Decode reality, by modality:
+  image — real via Pillow when importable, deterministic byte-histogram
+          stub otherwise (Pillow is not in this container);
+  audio — REAL for PCM WAV everywhere (stdlib ``wave`` + numpy, no codec
+          libraries needed); compressed codecs degrade per-payload to a
+          deterministic stub marked ``decoded=false``;
+  video — stubbed (no codecs in any base image); the Spark plumbing
+          (explode to frame rows, bounded fan-out) is real.
+Everything Spark-side is real and tested in all cases: the schema, the
+binary column handling, the Arrow batch shape, the UDF signatures, and
+the partitioning.  Swap the remaining stubs for torchaudio/ffmpeg calls
+in a real deployment — nothing else changes.
 """
 
 from __future__ import annotations
@@ -149,6 +155,106 @@ def decode_features(
     return pruned.mapInPandas(
         extract,
         schema="media_id long, media_type string, n_bytes long, features array<double>",
+    )
+
+
+# ------------------------------------------------------------ audio decode
+
+AUDIO_FEATURE_BINS = 8
+
+
+def _wav_decode_audio(payload: bytes) -> dict | None:
+    """REAL audio decode for PCM WAV — needs only stdlib ``wave`` +
+    numpy, both present in any Python image (no codec libraries).
+    Returns per-clip stats + an L1-normalized 8-bin |FFT| band profile,
+    or None when the payload is not a PCM WAV this parser can read
+    (compressed formats need codec libs — those fall back to the stub)."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            rate, nch, width, nframes = (
+                w.getframerate(), w.getnchannels(), w.getsampwidth(), w.getnframes(),
+            )
+            raw = w.readframes(nframes)
+    except Exception:
+        return None
+    if width == 1:
+        x = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+        x /= 128.0
+    elif width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:  # 24-bit et al.: not worth a hand-rolled unpacker here
+        return None
+    if nch > 1:
+        x = x[: (x.size // nch) * nch].reshape(-1, nch).mean(axis=1)
+    if x.size == 0:
+        return None
+    mag = np.abs(np.fft.rfft(x))
+    bands = np.array_split(mag, AUDIO_FEATURE_BINS)
+    prof = np.array([b.sum() for b in bands])
+    tot = prof.sum()
+    return {
+        "decoded": True,
+        "sample_rate": int(rate),
+        "n_channels": int(nch),
+        "n_samples": int(x.size),
+        "duration_secs": float(x.size / rate) if rate else 0.0,
+        "rms": float(np.sqrt(np.mean(x * x))),
+        "zero_crossing_rate": float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+        if x.size > 1
+        else 0.0,
+        "features": (prof / tot if tot > 0 else prof).tolist(),
+    }
+
+
+def _fake_decode_audio(payload: bytes) -> dict:
+    """STUB fallback for non-WAV payloads (compressed codecs are not in
+    this container): deterministic byte-level features, decoded=False so
+    consumers can never mistake them for real audio stats."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    hist, _ = np.histogram(arr, bins=AUDIO_FEATURE_BINS, range=(0, 256))
+    return {
+        "decoded": False,
+        "sample_rate": 0,
+        "n_channels": 0,
+        "n_samples": int(arr.size),
+        "duration_secs": 0.0,
+        "rms": float(np.sqrt(np.mean((arr / 255.0) ** 2))) if arr.size else 0.0,
+        "zero_crossing_rate": 0.0,
+        "features": (hist / max(1, arr.size)).tolist(),
+    }
+
+
+def decode_audio_features(media: DataFrame) -> DataFrame:
+    """(media_id, decoded, sample_rate, n_channels, n_samples,
+    duration_secs, rms, zero_crossing_rate, features) — audio decode /
+    feature-extract over Arrow batches.  PCM WAV decodes FOR REAL
+    (stdlib ``wave``); other codecs degrade to the deterministic stub
+    with ``decoded=false`` — per-PAYLOAD fallback is a data property
+    (format mix in one table is normal), unlike the image path's
+    fail-fast on a missing library (an executor-image config error)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                raw = p if isinstance(p, (bytes, bytearray)) else bytes(p)
+                d = _wav_decode_audio(raw) or _fake_decode_audio(raw)
+                d["media_id"] = mid
+                rows.append(d)
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(
+        extract,
+        schema=(
+            "media_id long, decoded boolean, sample_rate int, n_channels int, "
+            "n_samples long, duration_secs double, rms double, "
+            "zero_crossing_rate double, features array<double>"
+        ),
     )
 
 

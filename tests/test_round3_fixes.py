@@ -181,6 +181,48 @@ def test_streaming_dedup_parquet_sink_across_restart(spark, tmp_path):
     assert got == {0: "alpha beta", 2: "gamma delta", 9: "epsilon zeta"}
 
 
+def test_audio_decode_real_wav(spark):
+    """PCM WAV decodes FOR REAL (stdlib wave + numpy): correct rate /
+    duration / rms and energy concentrated in the right FFT band; a
+    non-WAV payload degrades per-payload to the stub with decoded=false."""
+    import io
+    import math
+    import wave
+
+    import numpy as np
+
+    from pregel_golang_implementation_spark.operators.multimodal import (
+        decode_audio_features,
+    )
+
+    rate, secs, freq, amp = 8000, 1.0, 440.0, 0.5
+    t = np.arange(int(rate * secs)) / rate
+    pcm = (amp * np.sin(2 * np.pi * freq * t) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    media = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue())), (2, bytearray(b"not a wav at all"))],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r.asDict() for r in decode_audio_features(media).collect()}
+
+    wav = got[1]
+    assert wav["decoded"] is True
+    assert wav["sample_rate"] == rate and wav["n_channels"] == 1
+    assert wav["duration_secs"] == pytest.approx(secs)
+    assert wav["rms"] == pytest.approx(amp / math.sqrt(2), rel=1e-3)
+    assert wav["zero_crossing_rate"] == pytest.approx(2 * freq / rate, rel=0.01)
+    # 440 Hz lands in band 0 of 8 bands over [0, 4000] Hz
+    assert wav["features"][0] > 0.9
+
+    junk = got[2]
+    assert junk["decoded"] is False and junk["sample_rate"] == 0
+
+
 def test_near_dup_default_cap_reports_dropped(spark, caplog):
     """The default-capped composition must surface capped coverage (never
     silent) and, when nothing is capped, match the uncapped result."""

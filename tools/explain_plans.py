@@ -144,6 +144,30 @@ def main() -> None:
         ("ngram_jaccard verify with LSH pairs (predicate below the aggregate)", grab(verified))
     )
 
+    # 5. distributed top-k: partial top-k per (query, input-partition) then
+    # a k-rows-per-partition merge — NO Window partitioned by query_id
+    # anywhere (a per-query window is a single-reducer sort of every
+    # scored row for that query; r2 verdict #1).
+    from pregel_golang_implementation_spark.operators.similarity import (
+        cosine_topk,
+        srp_buckets,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    topk = cosine_topk(emb, query_ids=[0, 1, 2, 3, 4], k=5)
+    topk_plan = grab(topk)
+    assert "Window" not in topk_plan, "top-k must not plan a per-query Window"
+    sections.append(
+        ("cosine_topk (two-level distributed top-k — no per-query Window)", topk_plan)
+    )
+
+    # 6. SRP bucketing: driver-precomputed hyperplane literals, zip_with +
+    # ordered fold per bit — a pure projection: NO Exchange, no explode,
+    # no md5 of per-row constants.
+    srp_plan = grab(srp_buckets(emb, bits=8))
+    assert "Exchange" not in srp_plan, "srp_buckets must stay shuffle-free"
+    sections.append(("srp_buckets (zero-shuffle projection)", srp_plan))
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write(
             "# PLANS — formatted physical plans of the hot paths\n\n"
