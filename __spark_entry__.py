@@ -136,6 +136,33 @@ def symmetrize_weighted(edges: DataFrame) -> DataFrame:
     )
 
 
+INC_CC_PRIOR_ITERS = 6
+INC_CC_ITERS = 4
+
+
+def q_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CC: label the even-part subgraph first, then maintain
+    as the odd-part edges 'arrive' — seeded hash-min over the full graph
+    (operators/connected_components.incremental_connected_components)."""
+    from pregel_golang_implementation_spark.operators.connected_components import (
+        incremental_connected_components,
+    )
+
+    edges = edges_from_lineitem(spark, sf_dir)
+    subset = edges.filter(F.col("dst") % 2 == 0)
+    prior = _runner(spark, cc_spec()).run(
+        symmetrize(subset), max_supersteps=INC_CC_PRIOR_ITERS
+    )
+    res = incremental_connected_components(
+        spark,
+        edges,
+        prior.state.select("id", "value"),
+        max_supersteps=INC_CC_ITERS,
+        lineage_break_every=3,
+    )
+    return res.state.select("id", F.col("value").cast("long").alias("component"))
+
+
 def q_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = symmetrize(edges_from_lineitem(spark, sf_dir))
     res = _runner(spark, lpa_spec()).run(und, max_supersteps=LPA_ITERS)
@@ -386,6 +413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank_5iter": q_pagerank,
         "cc_6iter": q_cc,
+        "incremental_cc": q_incremental_cc,
         "sssp_4iter": q_sssp,
         "lpa_2iter": q_lpa,
         "scatter_combine_min": q_scatter_combine,
@@ -553,6 +581,50 @@ def _sssp_sql(iters: int) -> str:
     )
 
 
+def _incremental_cc_sql(prior_iters: int, iters: int) -> str:
+    """Oracle twin of q_incremental_cc: hash-min over the even-dst
+    subgraph for ``prior_iters`` steps, then seeded hash-min over the full
+    graph for ``iters`` steps (missing vertices seed at their own id)."""
+    parts = [
+        _E,
+        _U,
+        _V,
+        "ea AS (SELECT src, dst FROM e WHERE dst % 2 = 0)",
+        "ua AS (SELECT src, dst FROM ea UNION SELECT dst, src FROM ea)",
+        "va AS (SELECT src AS id FROM ea UNION SELECT dst AS id FROM ea)",
+        "a0 AS (SELECT id, id AS val FROM va)",
+    ]
+    for k in range(1, prior_iters + 1):
+        p = f"a{k - 1}"
+        parts.append(
+            f"am{k} AS (SELECT ua.dst AS id, MIN(p.val) AS mv FROM {p} p "
+            f"JOIN ua ON p.id = ua.src GROUP BY ua.dst)"
+        )
+        parts.append(
+            f"a{k} AS (SELECT {p}.id, LEAST({p}.val, COALESCE(am{k}.mv, {p}.val)) AS val "
+            f"FROM {p} LEFT JOIN am{k} ON {p}.id = am{k}.id)"
+        )
+    parts.append(
+        f"s0 AS (SELECT v.id, COALESCE(a{prior_iters}.val, v.id) AS val "
+        f"FROM v LEFT JOIN a{prior_iters} ON v.id = a{prior_iters}.id)"
+    )
+    for k in range(1, iters + 1):
+        p = f"s{k - 1}"
+        parts.append(
+            f"m{k} AS (SELECT u.dst AS id, MIN(p.val) AS mv FROM {p} p "
+            f"JOIN u ON p.id = u.src GROUP BY u.dst)"
+        )
+        parts.append(
+            f"s{k} AS (SELECT {p}.id, LEAST({p}.val, COALESCE(m{k}.mv, {p}.val)) AS val "
+            f"FROM {p} LEFT JOIN m{k} ON {p}.id = m{k}.id)"
+        )
+    return _materialize(
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT id, CAST(val AS BIGINT) AS component FROM s{iters}"
+    )
+
+
 def _lpa_sql(iters: int) -> str:
     parts = [_E, _U, _V, "s0 AS (SELECT id, id AS val FROM v)"]
     for k in range(1, iters + 1):
@@ -684,6 +756,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pagerank_5iter": _pagerank_sql(PR_ITERS),
         "cc_6iter": _cc_sql(CC_ITERS),
+        "incremental_cc": _incremental_cc_sql(INC_CC_PRIOR_ITERS, INC_CC_ITERS),
         "sssp_4iter": _sssp_sql(SSSP_ITERS),
         "lpa_2iter": _lpa_sql(LPA_ITERS),
         "scatter_combine_min": (
