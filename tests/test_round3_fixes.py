@@ -56,6 +56,22 @@ def test_ngram_containment_asymmetric_vs_jaccard(spark):
     assert got[(100, 1)] == pytest.approx(2 / 6)
 
 
+def test_ngram_containment_plan_broadcasts_benchmark(spark):
+    """Scale shape: BOTH joins (shingle intersect, denominator sizes)
+    broadcast the tiny benchmark side — the corpus is never shuffled on
+    shingle, and no sort-merge join appears."""
+    docs = spark.range(200).selectExpr(
+        "id AS doc_id", "concat('w', id, ' w', id+1, ' w', id+2, ' w', id+3) AS text"
+    )
+    out = ngram_containment(
+        docs.filter("doc_id >= 10"), docs.filter("doc_id < 10"), n=3
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_quality_repetition_signals(spark):
     """Gopher-style repetition gates: a degenerate repetitive document
     scores quality 0 via top_bigram_frac; duplicated lines score via
