@@ -48,6 +48,7 @@ from pregel_golang_implementation_spark.operators.similarity import (
     ann_topk,
     cosine_topk,
     embedding_near_dups,
+    knn_graph,
     srp_buckets,
 )
 from pregel_golang_implementation_spark.operators.sssp import sssp_spec
@@ -393,6 +394,17 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KNN_GRAPH_K = 3
+
+
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN graph: per-vector top-k among SRP bucket mates."""
+    out = knn_graph(_emb(spark, sf_dir), k=KNN_GRAPH_K, bits=ANN_BITS, round_to=5)
+    return out.select(
+        "vec_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -435,6 +447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_resolve": q_dedup_resolve,
         "ann_candidates": q_ann_candidates,
         "ann_topk": q_ann_topk,
+        "knn_graph": q_knn_graph,
         "embedding_near_dups": q_embedding_near_dups,
         "decontaminate": q_decontaminate,
         "pagerank_top10": q_pagerank_top10,
@@ -838,6 +851,7 @@ def oracle_sql() -> dict[str, str]:
             "JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id"
         ),
         "ann_topk": _ann_topk_sql(),
+        "knn_graph": _knn_graph_sql(),
         "embedding_near_dups": _embedding_near_dups_sql(threshold=0.2),
         "decontaminate": (
             f"WITH {_SHINGLES}, "
@@ -968,6 +982,26 @@ def _ann_topk_sql(bits: int = ANN_BITS) -> str:
         "ranked AS (SELECT query_id, neighbor_id, sim, ROW_NUMBER() OVER "
         "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored) "
         f"SELECT query_id, neighbor_id, sim, rank::BIGINT AS rank FROM ranked WHERE rank <= {KNN_K}"
+    )
+
+
+def _knn_graph_sql(bits: int = ANN_BITS, k: int = KNN_GRAPH_K) -> str:
+    dot = "list_aggregate([qv[i]::DOUBLE * cv[i]::DOUBLE for i in generate_series(1, len(qv))], 'sum')"
+    nq = "sqrt(list_aggregate([qv[i]::DOUBLE * qv[i]::DOUBLE for i in generate_series(1, len(qv))], 'sum'))"
+    nc = "sqrt(list_aggregate([cv[i]::DOUBLE * cv[i]::DOUBLE for i in generate_series(1, len(cv))], 'sum'))"
+    return (
+        "WITH bk AS (" + _srp_sql(bits) + "), "
+        "a AS (SELECT e.vec_id AS qid, e.embedding AS qv, bk.bucket "
+        "FROM embeddings e JOIN bk ON bk.vec_id = e.vec_id), "
+        "b AS (SELECT e.vec_id AS nid, e.embedding AS cv, bk.bucket "
+        "FROM embeddings e JOIN bk ON bk.vec_id = e.vec_id), "
+        "scored AS (SELECT qid, nid, "
+        f"CAST(ROUND({dot} / ({nq} * {nc}), 5) AS DOUBLE) AS sim "
+        "FROM a JOIN b ON a.bucket = b.bucket WHERE qid <> nid), "
+        "ranked AS (SELECT qid, nid, sim, ROW_NUMBER() OVER "
+        "(PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank FROM scored) "
+        f"SELECT qid AS vec_id, nid AS neighbor_id, sim, rank::BIGINT AS rank "
+        f"FROM ranked WHERE rank <= {k}"
     )
 
 

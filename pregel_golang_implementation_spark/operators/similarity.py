@@ -228,6 +228,56 @@ def embedding_near_dups(
     )
 
 
+def knn_graph(
+    embeddings: DataFrame,
+    k: int = 5,
+    bits: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
+    round_to: int | None = None,
+) -> DataFrame:
+    """(vec_id, neighbor_id, sim, rank) — approximate kNN GRAPH over the
+    whole corpus: every vector is a query; its candidates are its SRP
+    bucket mates (exact cosine inside the bucket, recall < 1 by design).
+    The standard input to embedding-based clustering/dedup pipelines.
+
+    Scale shape: the bucket equi-join replaces the corpus² cross product
+    with Σ_b n_b² work (expected n/2^bits per bucket); per-vector top-k
+    is the two-level ``_distributed_topk`` — no per-vector window, no
+    single-reducer sort anywhere.  ``max_bucket_size`` skips
+    over-occupied buckets (identical-embedding clusters); report the
+    dropped set with ``oversized_srp_buckets`` — never silent."""
+    bk = srp_buckets(embeddings, bits=bits, id_col=id_col, vec_col=vec_col)
+    if max_bucket_size is not None:
+        ok = (
+            bk.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .select("bucket")
+        )
+        bk = bk.join(ok, "bucket", "left_semi")
+    emb = embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    a = emb.join(bk, F.col("_id") == F.col("vec_id")).select(
+        F.col("_id").alias("query_id"), F.col("_v").alias("_qv"), "bucket"
+    )
+    b = emb.join(bk, F.col("_id") == F.col("vec_id")).select(
+        F.col("_id").alias("neighbor_id"), F.col("_v").alias("_cv"), "bucket"
+    )
+    sim = cosine_similarity(F.col("_qv"), F.col("_cv"))
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    scored = (
+        a.join(b, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+    )
+    return (
+        _distributed_topk(scored, k)
+        .withColumnRenamed("query_id", "vec_id")
+    )
+
+
 def oversized_srp_buckets(
     embeddings: DataFrame,
     bits: int = 8,

@@ -197,6 +197,37 @@ def test_streaming_dedup_parquet_sink_across_restart(spark, tmp_path):
     assert got == {0: "alpha beta", 2: "gamma delta", 9: "epsilon zeta"}
 
 
+def test_knn_graph_properties(spark):
+    """kNN graph: ≤k ranked neighbors per vector, sims non-increasing in
+    rank, no self-loops, and every (vec, neighbor) pair shares an SRP
+    bucket (candidates are bucket-mates only)."""
+    import random
+
+    from pregel_golang_implementation_spark.operators.similarity import (
+        knn_graph,
+        srp_buckets,
+    )
+
+    rng = random.Random(5)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(80)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = knn_graph(emb, k=3, bits=3).collect()
+    assert rows, "3-bit buckets over 80 vecs must produce neighbors"
+    by_vec = {}
+    for r in rows:
+        assert r["vec_id"] != r["neighbor_id"]
+        by_vec.setdefault(r["vec_id"], []).append((r["rank"], r["sim"]))
+    for ranked in by_vec.values():
+        ranked.sort()
+        assert [rk for rk, _ in ranked] == list(range(1, len(ranked) + 1))
+        sims = [s for _, s in ranked]
+        assert sims == sorted(sims, reverse=True)
+    bucket = {r["vec_id"]: r["bucket"] for r in srp_buckets(emb, bits=3).collect()}
+    assert all(bucket[r["vec_id"]] == bucket[r["neighbor_id"]] for r in rows)
+
+
 def test_audio_decode_real_wav(spark):
     """PCM WAV decodes FOR REAL (stdlib wave + numpy): correct rate /
     duration / rms and energy concentrated in the right FFT band; a
