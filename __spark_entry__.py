@@ -38,6 +38,10 @@ from pregel_golang_implementation_spark.operators.dedup import (
     simhash,
     word_shingles,
 )
+from pregel_golang_implementation_spark.operators.events import (
+    event_window_stats,
+    sessionize,
+)
 from pregel_golang_implementation_spark.operators.label_propagation import lpa_spec
 from pregel_golang_implementation_spark.operators.pagerank import (
     pagerank_spec,
@@ -371,6 +375,25 @@ def q_pagerank_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch tumbling-window event stats + JSON-prop extraction."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return event_window_stats(events, window="1 hour")
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity boundary)."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(events, gap_minutes=30).select(
+        "user_id",
+        F.col("session_no").cast("long").alias("session_no"),
+        "n_events",
+        "start_ts",
+        "end_ts",
+        "total_value",
+    )
+
+
 DECONTAM_BENCH_MAX_ID = 10  # doc_id < 10 plays the "benchmark suite"
 
 
@@ -450,6 +473,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph": q_knn_graph,
         "embedding_near_dups": q_embedding_near_dups,
         "decontaminate": q_decontaminate,
+        "event_window_stats": q_event_window_stats,
+        "sessionize": q_sessionize,
         "pagerank_top10": q_pagerank_top10,
         "personalized_pagerank": q_ppr,
         "pagerank_weighted": q_pagerank_weighted,
@@ -863,6 +888,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT i.doc_id, i.benchmark_id, "
             "CAST(ROUND(n_inter / n_bench, 6) AS DOUBLE) AS containment "
             "FROM inter i JOIN sizes s ON i.benchmark_id = s.benchmark_id"
+        ),
+        "event_window_stats": (
+            "SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start, "
+            "event_type, COUNT(*) AS n, "
+            "CAST(ROUND(SUM(value), 6) AS DOUBLE) AS total_value, "
+            "CAST(ROUND(AVG(CAST(regexp_extract(props, '\"k\":\\s*(\\d+)', 1) AS BIGINT)), 6) AS DOUBLE) AS avg_k "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "sessionize": (
+            "WITH ev AS (SELECT user_id, event_id, "
+            "CAST(floor(epoch(ts)) AS BIGINT) AS ep, value FROM events), "
+            "f AS (SELECT user_id, event_id, ep, value, "
+            "CASE WHEN LAG(ep) OVER (PARTITION BY user_id ORDER BY ep, event_id) IS NULL "
+            "OR ep - LAG(ep) OVER (PARTITION BY user_id ORDER BY ep, event_id) > 1800 "
+            "THEN 1 ELSE 0 END AS nw FROM ev), "
+            "g AS (SELECT user_id, ep, value, SUM(nw) OVER (PARTITION BY user_id "
+            "ORDER BY ep, event_id ROWS UNBOUNDED PRECEDING) AS sess FROM f) "
+            "SELECT user_id, sess AS session_no, COUNT(*) AS n_events, "
+            "MIN(ep) AS start_ts, MAX(ep) AS end_ts, "
+            "CAST(ROUND(SUM(value), 6) AS DOUBLE) AS total_value "
+            "FROM g GROUP BY 1, 2"
         ),
         "pagerank_top10": (
             "SELECT * FROM ("

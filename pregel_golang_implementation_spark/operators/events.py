@@ -1,0 +1,90 @@
+"""Batch event-log operators: tumbling-window stats and gap sessionization.
+
+The batch complements of streaming/ingest.windowed_event_stats — a
+training-data pipeline processes its interaction/event logs both ways:
+streaming for freshness, batch for backfills and reprocessing.  All
+built-in column expressions; exact SQL twins in the DuckDB oracle.
+
+Timestamps are reported as epoch seconds (long): integer-exact across
+engines, no timezone-rendering ambiguity in the value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# JSON property extraction via regex — portable to any engine without a
+# JSON extension; swap for get_json_object/json_extract in deployments
+# that standardize on one engine.
+_PROP_K_RE = r'"k":\s*(\d+)'
+
+
+def event_window_stats(
+    events: DataFrame, window: str = "1 hour", ts_col: str = "ts"
+) -> DataFrame:
+    """(window_start, event_type, n, total_value, avg_k) — tumbling-window
+    aggregate over the event log; ``avg_k`` exercises JSON-prop
+    extraction from the ``props`` string column.
+
+    Scale shape: one hash aggregate keyed by (window, event_type) —
+    partial+final, uniform keys (time advances, types are few); the
+    window assignment is a pure projection (``F.window``), so the scan
+    streams.  window_start = epoch seconds of the bucket start."""
+    return (
+        events.groupBy(
+            F.window(F.col(ts_col), window).alias("_w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+            F.round(
+                F.avg(F.regexp_extract(F.col("props"), _PROP_K_RE, 1).cast("long")), 6
+            ).alias("avg_k"),
+        )
+        .select(
+            F.unix_timestamp(F.col("_w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+            "avg_k",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame, gap_minutes: int = 30, ts_col: str = "ts"
+) -> DataFrame:
+    """(user_id, session_no, n_events, start_ts, end_ts, total_value) —
+    gap-based sessionization: a new session starts when a user's
+    inter-event gap exceeds ``gap_minutes``.  session_no is 1-based per
+    user in time order.
+
+    Classic two-window shape (lag → boundary flag → running sum), both
+    windows partitioned by user_id — keys fan out across all reducers;
+    per-task work is bounded by the busiest single user's event count
+    (an event log's whales are ~1e4-1e6 events, not corpus-scale; for a
+    pathological firehose user, pre-split by day first).  Ties on ts
+    break by event_id so sessions are deterministic."""
+    gap = gap_minutes * 60
+    epoch = F.unix_timestamp(F.col(ts_col))
+    # order by the SAME epoch-seconds key the gap uses (not the raw
+    # microsecond timestamp) so session assignment is bit-identical in
+    # any engine computing on epoch seconds
+    w = Window.partitionBy("user_id").orderBy(epoch, "event_id")
+    prev = F.lag(epoch).over(w)
+    new_sess = F.when(
+        prev.isNull() | ((epoch - prev) > gap), F.lit(1)
+    ).otherwise(F.lit(0))
+    flagged = events.withColumn("_new", new_sess).withColumn(
+        "_sess",
+        F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return flagged.groupBy("user_id", F.col("_sess").alias("session_no")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(epoch).alias("start_ts"),
+        F.max(epoch).alias("end_ts"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )

@@ -197,6 +197,30 @@ def test_streaming_dedup_parquet_sink_across_restart(spark, tmp_path):
     assert got == {0: "alpha beta", 2: "gamma delta", 9: "epsilon zeta"}
 
 
+def test_sessionize_gap_boundaries(spark):
+    """Sessions split exactly when the inter-event gap EXCEEDS the
+    threshold (a gap of exactly 30 min stays in-session); session_no is
+    1-based per user in time order."""
+    from pregel_golang_implementation_spark.operators.events import sessionize
+
+    rows = [
+        # user 1: 3 events, gaps 30min (stays) and 30min+1s (splits)
+        (0, "2024-01-01 00:00:00", 1, "a", 1.0, "{}"),
+        (1, "2024-01-01 00:30:00", 1, "a", 2.0, "{}"),
+        (2, "2024-01-01 01:00:01", 1, "a", 4.0, "{}"),
+        # user 2: single event
+        (3, "2024-01-01 05:00:00", 2, "b", 8.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        (r["user_id"], r["session_no"]): (r["n_events"], r["total_value"])
+        for r in sessionize(events, gap_minutes=30).collect()
+    }
+    assert got == {(1, 1): (2, 3.0), (1, 2): (1, 4.0), (2, 1): (1, 8.0)}
+
+
 def test_knn_graph_properties(spark):
     """kNN graph: ≤k ranked neighbors per vector, sims non-increasing in
     rank, no self-loops, and every (vec, neighbor) pair shares an SRP
