@@ -2,8 +2,10 @@
 with typed metadata, processed via Arrow-batched mapInPandas.
 
 Decode reality, by modality:
-  image — real via Pillow when importable, deterministic byte-histogram
-          stub otherwise (Pillow is not in this container);
+  image — real via Pillow when importable; WITHOUT Pillow, binary
+          netpbm (P5/P6) still decodes for real (header + numpy, no
+          imaging library), and only non-netpbm payloads fall to the
+          deterministic byte-histogram stub;
   audio — REAL for PCM WAV everywhere (stdlib ``wave`` + numpy, no codec
           libraries needed); compressed codecs degrade per-payload to a
           deterministic stub marked ``decoded=false``;
@@ -84,6 +86,48 @@ except ImportError:
     HAS_PIL = False
 
 
+def _netpbm_decode_image(payload: bytes) -> np.ndarray | None:
+    """REAL image decode for binary netpbm (P5 grayscale / P6 RGB, 8-bit)
+    — header parse + numpy frombuffer, no imaging library needed.
+    Returns the same L1-normalized 8-bin grayscale-pixel histogram the
+    PIL path produces for these formats, or None for anything else
+    (compressed formats need a real codec)."""
+    if not payload[:2] in (b"P5", b"P6"):
+        return None
+    try:
+        # header: magic, width, height, maxval — whitespace/comment-separated
+        fields: list[bytes] = []
+        i = 2
+        while len(fields) < 3 and i < len(payload):
+            while i < len(payload) and payload[i : i + 1].isspace():
+                i += 1
+            if payload[i : i + 1] == b"#":  # comment to end of line
+                while i < len(payload) and payload[i : i + 1] != b"\n":
+                    i += 1
+                continue
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            fields.append(payload[i:j])
+            i = j
+        i += 1  # single whitespace after maxval, then raster
+        w, h, maxval = int(fields[0]), int(fields[1]), int(fields[2])
+        if maxval > 255 or w <= 0 or h <= 0:
+            return None
+        ch = 3 if payload[:2] == b"P6" else 1
+        raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=i)
+        if ch == 3:
+            # ITU-R 601 luma, same coefficients PIL's convert("L") uses
+            rgb = raster.reshape(-1, 3).astype(np.float64)
+            gray = rgb @ np.array([299.0, 587.0, 114.0]) / 1000.0
+        else:
+            gray = raster.astype(np.float64)
+    except Exception:
+        return None
+    hist, _ = np.histogram(gray, bins=FEATURE_DIM, range=(0, 256))
+    return hist / max(1, gray.size)
+
+
 def _fake_decode_image(payload: bytes) -> np.ndarray:
     """STUB — deterministic fake for the decode step (no PIL in this
     container).  Real plumbing, fake pixels: an 8-bin byte histogram,
@@ -122,6 +166,13 @@ def _pil_decode_image(payload: bytes) -> np.ndarray:  # pragma: no cover
     return hist / max(1, arr.size)
 
 
+def _nonpil_decode_image(payload: bytes) -> np.ndarray:
+    """No-imaging-library decode chain: real netpbm parse (P5/P6) when
+    the payload is one, deterministic byte-histogram stub otherwise."""
+    out = _netpbm_decode_image(payload)
+    return out if out is not None else _fake_decode_image(payload)
+
+
 def decode_features(
     media: DataFrame, batch_hint: int | None = None, use_pil: bool | None = None
 ) -> DataFrame:
@@ -134,7 +185,11 @@ def decode_features(
     ``use_pil=None`` (default) auto-detects Pillow: real decode when
     available, deterministic byte-histogram stub otherwise — same schema
     and operator contract either way."""
-    decode = _pil_decode_image if (HAS_PIL if use_pil is None else use_pil) else _fake_decode_image
+    decode = (
+        _pil_decode_image
+        if (HAS_PIL if use_pil is None else use_pil)
+        else _nonpil_decode_image
+    )
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -294,6 +294,42 @@ def test_audio_decode_real_wav(spark):
     assert junk["decoded"] is False and junk["sample_rate"] == 0
 
 
+def test_netpbm_image_decode_real(spark):
+    """Without Pillow, binary netpbm still decodes FOR REAL: a P6 image
+    that is half black / half white yields a histogram with mass only in
+    the first and last bins; P5 grayscale likewise; garbage falls back
+    to the byte stub."""
+    import numpy as np
+
+    from pregel_golang_implementation_spark.operators.multimodal import (
+        _fake_decode_image,
+        _nonpil_decode_image,
+    )
+
+    w, h = 4, 2
+    raster = bytes([0, 0, 0] * 4 + [255, 255, 255] * 4)
+    ppm = b"P6\n# a comment\n4 2\n255\n" + raster
+    feats = _nonpil_decode_image(ppm)
+    assert feats[0] == pytest.approx(0.5) and feats[-1] == pytest.approx(0.5)
+    assert sum(feats[1:-1]) == 0.0
+
+    pgm = b"P5\n4 2\n255\n" + bytes([10] * 4 + [250] * 4)
+    g = _nonpil_decode_image(pgm)
+    assert g[0] == pytest.approx(0.5) and g[-1] == pytest.approx(0.5)
+
+    junk = b"JFIF not actually parseable"
+    assert np.allclose(_nonpil_decode_image(junk), _fake_decode_image(junk))
+
+    # and through the Spark operator end-to-end
+    from pregel_golang_implementation_spark.operators.multimodal import decode_features
+
+    media = spark.createDataFrame(
+        [(1, bytearray(ppm), "image")], "media_id long, payload binary, media_type string"
+    )
+    row = decode_features(media, use_pil=False).first()
+    assert row["features"][0] == pytest.approx(0.5)
+
+
 def test_near_dup_default_cap_reports_dropped(spark, caplog):
     """The default-capped composition must surface capped coverage (never
     silent) and, when nothing is capped, match the uncapped result."""
