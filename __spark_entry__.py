@@ -55,6 +55,10 @@ from pregel_golang_implementation_spark.operators.similarity import (
     knn_graph,
     srp_buckets,
 )
+from pregel_golang_implementation_spark.operators.sampling import (
+    hash_sample,
+    mix_corpus,
+)
 from pregel_golang_implementation_spark.operators.sssp import sssp_spec
 from pregel_golang_implementation_spark.operators.textstats import (
     fingerprint,
@@ -375,6 +379,25 @@ def q_pagerank_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_FRACTION = 0.25
+MIX_MULTIPLIERS = {"src0": 2.25, "src1": 0.4, "src2": 0.0}
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling (reproducible train-set selection)."""
+    return hash_sample(_docs(spark, sf_dir), SAMPLE_FRACTION).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain reweighting: per-source replicate/downsample multipliers."""
+    out = mix_corpus(_docs(spark, sf_dir), MIX_MULTIPLIERS, on_col="source")
+    return out.select(
+        "doc_id", "source", F.col("copy_no").cast("long").alias("copy_no")
+    )
+
+
 def q_event_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch tumbling-window event stats + JSON-prop extraction."""
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -475,6 +498,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "event_window_stats": q_event_window_stats,
         "sessionize": q_sessionize,
+        "hash_sample": q_hash_sample,
+        "corpus_mix": q_corpus_mix,
         "pagerank_top10": q_pagerank_top10,
         "personalized_pagerank": q_ppr,
         "pagerank_weighted": q_pagerank_weighted,
@@ -889,6 +914,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(ROUND(n_inter / n_bench, 6) AS DOUBLE) AS containment "
             "FROM inter i JOIN sizes s ON i.benchmark_id = s.benchmark_id"
         ),
+        "hash_sample": (
+            "SELECT doc_id, lang, source FROM documents "
+            f"WHERE substr(md5('sample|' || doc_id::VARCHAR), 1, 4) < '{_hex_thr(SAMPLE_FRACTION)}'"
+        ),
+        "corpus_mix": _corpus_mix_sql(),
         "event_window_stats": (
             "SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start, "
             "event_type, COUNT(*) AS n, "
@@ -918,6 +948,28 @@ def oracle_sql() -> dict[str, str]:
         "personalized_pagerank": _ppr_sql(PR_ITERS),
         "pagerank_weighted": _pagerank_sql(PR_ITERS, weighted=True),
     }
+
+
+def _hex_thr(fraction: float) -> str:
+    from pregel_golang_implementation_spark.operators.sampling import _hex_threshold
+
+    return _hex_threshold(fraction)
+
+
+def _corpus_mix_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{v}' THEN {m}" for v, m in sorted(MIX_MULTIPLIERS.items())
+    )
+    return (
+        f"WITH m AS (SELECT doc_id, source, CASE source {cases} ELSE 1.0 END AS mult "
+        "FROM documents), "
+        "c AS (SELECT doc_id, source, CAST(floor(mult) AS INT) + "
+        "CASE WHEN substr(md5('mix|' || doc_id::VARCHAR), 1, 4) < "
+        "printf('%04x', CAST(floor((mult - floor(mult)) * 65536) AS BIGINT)) "
+        "THEN 1 ELSE 0 END AS n FROM m) "
+        "SELECT doc_id, source, unnest(generate_series(0, n - 1)) AS copy_no "
+        "FROM c WHERE n > 0"
+    )
 
 
 def _embedding_near_dups_sql(threshold: float) -> str:

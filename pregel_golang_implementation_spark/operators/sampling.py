@@ -1,0 +1,82 @@
+"""Deterministic sampling and corpus mixing for training-data pipelines.
+
+Reproducibility is the point: every sampling decision is a pure function
+of (salt, stable key), so the same corpus + config yields the same
+training set on any engine, any run, any partitioning — and an ablation
+can re-derive exactly which documents were in each mix.  No RNG state,
+no ``rand()`` (non-deterministic across retries, inexpressible in an
+oracle).
+
+Mechanism: the first 4 hex chars of md5(salt|key) are a uniform draw in
+[0, 16^4); comparing them against a hex threshold string implements
+P(keep) = threshold/65536 with plain string comparison — identical in
+any engine with md5 (granularity 1/65536 ≈ 0.0015%).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MOD = 16**4
+
+
+def _hex_threshold(fraction: float) -> str:
+    return format(max(0, min(_MOD, round(fraction * _MOD))), "04x")
+
+
+def _draw(key_col: str, salt: str):
+    return F.substring(
+        F.md5(F.concat(F.lit(f"{salt}|"), F.col(key_col).cast("string"))), 1, 4
+    )
+
+
+def hash_sample(
+    docs: DataFrame, fraction: float, key_col: str = "doc_id", salt: str = "sample"
+) -> DataFrame:
+    """Keep ≈``fraction`` of rows, chosen deterministically by hashed key.
+    Pure filter — pushes into the scan, no shuffle, no RNG.  Different
+    ``salt`` values give independent samples (e.g. train/val splits:
+    train = hash_sample(d, 0.99, salt='split'); val = subtract)."""
+    return docs.filter(_draw(key_col, salt) < F.lit(_hex_threshold(fraction)))
+
+
+def mix_corpus(
+    docs: DataFrame,
+    multipliers: dict[str, float],
+    on_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "mix",
+    default_multiplier: float = 1.0,
+) -> DataFrame:
+    """Domain reweighting: replicate/downsample rows per ``on_col`` group
+    to hit the target ``multipliers`` in expectation — the Pile/Gopher-
+    style mixture step.  multiplier m → every row appears floor(m)
+    times, plus one more with probability frac(m) (deterministic hashed
+    draw), so m=2.25 means "every doc twice, and a fixed quarter of
+    them a third time"; m=0.1 downsamples to a fixed tenth.
+
+    Output adds ``copy_no`` (0-based) so downstream shuffles can
+    de-correlate the replicas; (key, copy_no) stays unique.  Shape: one
+    CASE ladder + explode(sequence) — pure projection + generator, no
+    shuffle, no RNG; replication fan-out is exactly the configured
+    mixture weight."""
+    mult = F.lit(float(default_multiplier))
+    for value, m in sorted(multipliers.items()):
+        mult = F.when(F.col(on_col) == value, F.lit(float(m))).otherwise(mult)
+    base = F.floor(mult).cast("int")
+    frac = mult - F.floor(mult)
+    # the fractional extra copy: draw < frac-threshold (per-row hex cmp);
+    # threshold is per-row here, so build the hex string in-plan
+    draw = _draw(key_col, salt)
+    # explicit floor: a bare double→long CAST truncates in Spark but
+    # ROUNDS in DuckDB — floor() first makes the twin exact.  %04x via
+    # format_string/printf is lowercase zero-padded hex in both engines.
+    thr = F.format_string("%04x", F.floor(frac * _MOD).cast("long"))
+    n_copies = base + F.when(draw < thr, 1).otherwise(0)
+    return (
+        docs.withColumn("_n", n_copies)
+        .filter(F.col("_n") > 0)
+        .withColumn("copy_no", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
+        .drop("_n")
+    )

@@ -197,6 +197,36 @@ def test_streaming_dedup_parquet_sink_across_restart(spark, tmp_path):
     assert got == {0: "alpha beta", 2: "gamma delta", 9: "epsilon zeta"}
 
 
+def test_hash_sample_and_mix_deterministic(spark):
+    """Sampling decisions are pure functions of (salt, key): two runs
+    agree row-for-row; fractions land near target; multiplier semantics
+    hold (m=2.25 → 2 or 3 copies per doc, m=0 → dropped, salts
+    independent)."""
+    from pregel_golang_implementation_spark.operators.sampling import (
+        hash_sample,
+        mix_corpus,
+    )
+
+    docs = spark.range(2000).selectExpr(
+        "id AS doc_id", "concat('s', id % 2) AS source", "'t' AS text"
+    )
+    s1 = {r["doc_id"] for r in hash_sample(docs, 0.3).collect()}
+    s2 = {r["doc_id"] for r in hash_sample(docs, 0.3).collect()}
+    assert s1 == s2  # deterministic
+    assert 0.25 < len(s1) / 2000 < 0.35
+    other = {r["doc_id"] for r in hash_sample(docs, 0.3, salt="val").collect()}
+    assert other != s1  # different salt → independent draw
+
+    mixed = mix_corpus(docs, {"s0": 2.25, "s1": 0.0}, on_col="source").collect()
+    per_doc = {}
+    for r in mixed:
+        assert r["source"] == "s0"
+        per_doc.setdefault(r["doc_id"], []).append(r["copy_no"])
+    assert all(sorted(c) in ([0, 1], [0, 1, 2]) for c in per_doc.values())
+    n3 = sum(1 for c in per_doc.values() if len(c) == 3)
+    assert 0.15 < n3 / len(per_doc) < 0.35  # ≈25% get the extra copy
+
+
 def test_sessionize_gap_boundaries(spark):
     """Sessions split exactly when the inter-event gap EXCEEDS the
     threshold (a gap of exactly 30 min stays in-session); session_no is
