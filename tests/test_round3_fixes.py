@@ -197,6 +197,42 @@ def test_streaming_dedup_parquet_sink_across_restart(spark, tmp_path):
     assert got == {0: "alpha beta", 2: "gamma delta", 9: "epsilon zeta"}
 
 
+def test_distributed_topk_matches_window_semantics(spark):
+    """The two-level partial top-k must reproduce row_number-window
+    semantics exactly: (sim desc, neighbor_id asc) with ties broken by
+    id, stable under repartitioning, k larger than some groups."""
+    import random
+
+    from pregel_golang_implementation_spark.operators.similarity import (
+        _distributed_topk,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for q in range(4):
+        for n in range(q * 100, q * 100 + 37):
+            # coarse sims force many exact ties
+            rows.append((q, n, round(rng.uniform(0, 1), 1)))
+    expected = {}
+    for q in range(4):
+        ranked = sorted(
+            [(s, n) for (qq, n, s) in rows if qq == q], key=lambda t: (-t[0], t[1])
+        )[:5]
+        expected[q] = [(n, s, i + 1) for i, (s, n) in enumerate(ranked)]
+    for parts in (1, 7):
+        scored = spark.createDataFrame(
+            rows, "query_id long, neighbor_id long, sim double"
+        ).repartition(parts)
+        got = {}
+        for r in _distributed_topk(scored, 5).collect():
+            got.setdefault(r["query_id"], []).append(
+                (r["neighbor_id"], r["sim"], r["rank"])
+            )
+        for q in got:
+            got[q].sort(key=lambda t: t[2])
+        assert got == expected, f"mismatch at {parts} partitions"
+
+
 def test_hash_sample_and_mix_deterministic(spark):
     """Sampling decisions are pure functions of (salt, key): two runs
     agree row-for-row; fractions land near target; multiplier semantics
