@@ -922,8 +922,16 @@ def oracle_sql() -> dict[str, str]:
         "event_window_stats": (
             "SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start, "
             "event_type, COUNT(*) AS n, "
-            "CAST(ROUND(SUM(value), 6) AS DOUBLE) AS total_value, "
-            "CAST(ROUND(AVG(CAST(regexp_extract(props, '\"k\":\\s*(\\d+)', 1) AS BIGINT)), 6) AS DOUBLE) AS avg_k "
+            # decimal(38,9) sum = order-independent (exact decimal addition
+            # after one deterministic per-value rounding) — mirrors the
+            # engine's _decimal_sum so partition order can never flip the
+            # 6th decimal of the hash-compared total
+            "CAST(ROUND(SUM(CAST(value AS DECIMAL(38,9))), 6) AS DOUBLE) AS total_value, "
+            # TRY_CAST(NULLIF(...)): DuckDB regexp_extract yields '' for a
+            # non-matching props string and CAST('' AS BIGINT) hard-errors,
+            # whereas Spark yields NULL and avg() skips it — the twin must
+            # skip too, or any event without a "k" property kills the oracle.
+            "CAST(ROUND(AVG(TRY_CAST(NULLIF(regexp_extract(props, '\"k\":\\s*(\\d+)', 1), '') AS BIGINT)), 6) AS DOUBLE) AS avg_k "
             "FROM events GROUP BY 1, 2"
         ),
         "sessionize": (
@@ -935,9 +943,14 @@ def oracle_sql() -> dict[str, str]:
             "THEN 1 ELSE 0 END AS nw FROM ev), "
             "g AS (SELECT user_id, ep, value, SUM(nw) OVER (PARTITION BY user_id "
             "ORDER BY ep, event_id ROWS UNBOUNDED PRECEDING) AS sess FROM f) "
-            "SELECT user_id, sess AS session_no, COUNT(*) AS n_events, "
+            # CAST: DuckDB's windowed SUM yields HUGEINT, which pandas
+            # renders as float64 (1.0) while Spark emits long (1) — the
+            # driver's exact value hash sees those as different even when
+            # every value matches. Same rule as every other integer column
+            # in this file: cast in the twin.
+            "SELECT user_id, CAST(sess AS BIGINT) AS session_no, COUNT(*) AS n_events, "
             "MIN(ep) AS start_ts, MAX(ep) AS end_ts, "
-            "CAST(ROUND(SUM(value), 6) AS DOUBLE) AS total_value "
+            "CAST(ROUND(SUM(CAST(value AS DECIMAL(38,9))), 6) AS DOUBLE) AS total_value "
             "FROM g GROUP BY 1, 2"
         ),
         "pagerank_top10": (

@@ -404,6 +404,17 @@ def near_dup_clusters(
     sh = word_shingles(reps, n=shingle_n)
     sig = minhash_signatures(sh, num_hashes=num_hashes)
     bands = lsh_bands(sig, rows_per_band=rows_per_band)
+    bands_cached = None
+    if max_bucket_size is not None:
+        # the occupancy probe below is an EAGER action over bands, and the
+        # pair join consumes bands again — without a cache the dominant
+        # shingle→minhash→bands lineage runs twice.  The bands frame is
+        # tiny relative to shingles (num_bands rows/doc, hashes only), so
+        # persist it across probe + pair join; released after the cluster
+        # runner has materialized the duplicate graph.  (This is NOT the
+        # shingle persist the docstring above rejects — shingles stay lazy,
+        # so verify still re-tokenizes candidate docs only.)
+        bands_cached = bands = bands.persist()
     if max_bucket_size is not None:
         # capped coverage must never be silent (module contract) — and on
         # a HEALTHY corpus it must also be free.  The occupancy report
@@ -445,6 +456,11 @@ def near_dup_clusters(
         docs.sparkSession, cc_spec(max_supersteps=max_supersteps), steps_per_action=2
     )
     res = runner.run(dup_graph, vertices=vertices)
+    if bands_cached is not None:
+        # the runner materialized the duplicate graph (edges cached +
+        # counted inside run()) and the result state is localCheckpointed —
+        # nothing the caller holds still references the bands cache
+        bands_cached.unpersist()
     return res.state.select(
         F.col("id").alias("doc_id"),
         F.col("value").cast("long").alias("cluster_id"),

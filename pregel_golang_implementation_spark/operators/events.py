@@ -20,6 +20,16 @@ from pyspark.sql import functions as F
 _PROP_K_RE = r'"k":\s*(\d+)'
 
 
+def _decimal_sum(col: str, scale: int = 6):
+    """Order-independent money-style sum: cast each double to
+    decimal(38,9) (one deterministic per-value rounding), sum exactly in
+    decimal (addition is associative — no partition-order ulp drift), then
+    round to ``scale`` and return double.  A plain ``round(sum(double))``
+    can flip the last digit depending on which partition's partial lands
+    first, which a value-hash correctness gate sees as a wrong answer."""
+    return F.round(F.sum(F.col(col).cast("decimal(38,9)")), scale).cast("double")
+
+
 def event_window_stats(
     events: DataFrame, window: str = "1 hour", ts_col: str = "ts"
 ) -> DataFrame:
@@ -37,9 +47,16 @@ def event_window_stats(
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 6).alias("total_value"),
+            _decimal_sum("value").alias("total_value"),
+            # try_cast: regexp_extract yields '' (not NULL) for an event
+            # whose props has no "k" — under ANSI (Spark 4 default) a plain
+            # cast('' as long) hard-fails the job; try_cast → NULL → avg
+            # skips the event, matching the oracle's TRY_CAST(NULLIF(...))
             F.round(
-                F.avg(F.regexp_extract(F.col("props"), _PROP_K_RE, 1).cast("long")), 6
+                F.avg(
+                    F.regexp_extract(F.col("props"), _PROP_K_RE, 1).try_cast("long")
+                ),
+                6,
             ).alias("avg_k"),
         )
         .select(
@@ -86,5 +103,5 @@ def sessionize(
         F.count(F.lit(1)).alias("n_events"),
         F.min(epoch).alias("start_ts"),
         F.max(epoch).alias("end_ts"),
-        F.round(F.sum("value"), 6).alias("total_value"),
+        _decimal_sum("value").alias("total_value"),
     )

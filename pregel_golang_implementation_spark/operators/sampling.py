@@ -37,7 +37,17 @@ def hash_sample(
     """Keep ≈``fraction`` of rows, chosen deterministically by hashed key.
     Pure filter — pushes into the scan, no shuffle, no RNG.  Different
     ``salt`` values give independent samples (e.g. train/val splits:
-    train = hash_sample(d, 0.99, salt='split'); val = subtract)."""
+    train = hash_sample(d, 0.99, salt='split'); val = subtract).
+
+    fraction ≥ 1 short-circuits to the whole frame: the hex threshold for
+    1.0 is the 5-char '10000', and comparing 4-char draws against it
+    lexicographically keeps only draws ≤ '1000' (~6.25% of rows) — a
+    silent near-total loss for "keep everything".  fraction ≤ 0 is the
+    mirror case (empty sample), short-circuited for symmetry."""
+    if fraction >= 1.0:
+        return docs
+    if fraction <= 0.0:
+        return docs.filter(F.lit(False))
     return docs.filter(_draw(key_col, salt) < F.lit(_hex_threshold(fraction)))
 
 

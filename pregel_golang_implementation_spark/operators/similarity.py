@@ -41,7 +41,14 @@ def _distributed_topk(scored: DataFrame, k: int) -> DataFrame:
     for finite sims; NaN sims sort LAST here (Spark orders NaN greatest,
     so the old desc window put them first) — a NaN score can no longer
     displace real neighbors, which is the ordering a user wants anyway.
+
+    NULL sims (cosine of a zero-norm vector: Spark division by zero is
+    NULL) are dropped before ranking: a NULL ``-sim`` struct field would
+    sort FIRST in ``sort_array`` ascending and a degenerate embedding
+    would occupy ranks 1..k ahead of every real neighbor.  "No similarity
+    defined" is not "most similar" — filter, don't rank.
     """
+    scored = scored.filter(F.col("sim").isNotNull())
     item = F.struct(
         (-F.col("sim")).alias("_neg"),
         F.col("neighbor_id").alias("neighbor_id"),

@@ -73,6 +73,19 @@ def main() -> int:
             print(f"FAIL {name}: rows {len(g)} vs {len(w)}")
             failures.append(name)
             continue
+        # the driver's value hash is dtype-sensitive (int 1 != float 1.0 in
+        # its exact hash) — compare KINDS here too, or an oracle column that
+        # lands as float64 while Spark emits int64 passes locally and goes
+        # red at the driver (this is exactly how r3's sessionize slipped:
+        # DuckDB windowed SUM → HUGEINT → pandas float64). Int-width
+        # differences (int32 vs int64) hash identically, so kind suffices.
+        kinds_g = [g[c].dtype.kind for c in g.columns]
+        kinds_w = [w[c].dtype.kind for c in w.columns]
+        if kinds_g != kinds_w:
+            print(f"FAIL {name}: dtype kinds {kinds_g} vs {kinds_w} "
+                  f"(cols {list(g.columns)})")
+            failures.append(name)
+            continue
         try:
             pd.testing.assert_frame_equal(
                 g, w, check_dtype=False, check_exact=False, rtol=0, atol=1e-9
