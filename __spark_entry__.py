@@ -92,7 +92,11 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _runner(spark: SparkSession, spec) -> PregelRunner:
-    return PregelRunner(spark, spec, lineage_break_every=3)
+    # steps_per_action=2: chained supersteps (one job per block) — exact
+    # for fixed-iteration runs, including globals-bearing PageRank since
+    # r4 (in-plan dangling mass); running the correctness gate chained
+    # keeps the production fast path itself under the oracle hash check
+    return PregelRunner(spark, spec, lineage_break_every=3, steps_per_action=2)
 
 
 def _sssp_source(spark: SparkSession, sf_dir: str) -> int:
@@ -234,8 +238,11 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # degree_order=True (r4 default): identical count, but wedge
+    # enumeration fans out from low-degree endpoints — the orientation
+    # that survives a hub-skewed graph at 100×
     e = _copurchase_edges(spark, sf_dir)
-    tri = _triangle_rows(e, degree_order=False)
+    tri = _triangle_rows(e, degree_order=True)
     return tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
 
 

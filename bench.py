@@ -62,8 +62,11 @@ def main() -> None:
     warm = synthetic_edges(spark, num_vertices=2000, avg_degree=4, seed=7)
     pagerank(spark, warm, tol=0.0, max_supersteps=2)
 
+    # steps_per_action=2: two supersteps share one job/scheduler round-trip;
+    # since r4 this includes globals-bearing PageRank (the dangling mass for
+    # the block's 2nd step is an in-plan broadcast 1-row aggregate)
     t0 = time.monotonic()
-    pr = pagerank(spark, edges, tol=1e-6, max_supersteps=100)
+    pr = pagerank(spark, edges, tol=1e-6, max_supersteps=100, steps_per_action=2)
     pr.state.count()
     dt = time.monotonic() - t0
     timings["pagerank_1e6"] = round(dt, 3)
@@ -73,9 +76,6 @@ def main() -> None:
     extras["pagerank_edges_per_sec"] = round(n_edges * pr.supersteps / dt, 1)
     extras["n_edges"] = n_edges
 
-    # steps_per_action=2: two supersteps share one job/scheduler round-trip
-    # (exact for combiner-only specs — measured 25-30% faster; globals-
-    # bearing PageRank stays at 1 job/step, it must read the dangling mass)
     t0 = time.monotonic()
     cc = connected_components(spark, edges, steps_per_action=2)
     cc.state.count()

@@ -3,11 +3,14 @@ message-passing: a pure relational plan (edges ⋈ edges ⋈ edges counting
 closed wedges — SURVEY.md §2.3).  No analogue in the reference engine.
 
 Scale design: edges are first canonicalized src<dst so every triangle is
-counted exactly once as (a<b<c).  Optionally orient by (degree, id) —
-the standard skew fix: wedge enumeration then fans out from LOW-degree
-endpoints, so a celebrity hub never enumerates deg² wedge pairs.  Both
-joins are plain equi-joins Catalyst can reorder/broadcast; AQE splits any
-residual skew.
+counted exactly once as (a<b<c).  By DEFAULT they are then re-oriented by
+(degree, id) — the standard skew fix: wedge enumeration fans out from
+LOW-degree endpoints, so a celebrity hub never enumerates deg² wedge
+pairs (on a real crawl/link graph the hub wedge explosion, not the
+triangle count, is what kills the job).  ``degree_order=False`` skips the
+degree computation — only worthwhile on graphs known to be near-regular.
+Both joins are plain equi-joins Catalyst can reorder/broadcast; AQE
+splits any residual skew.
 """
 
 from __future__ import annotations
@@ -16,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def canonical_edges(edges: DataFrame, degree_order: bool = False) -> DataFrame:
+def canonical_edges(edges: DataFrame, degree_order: bool = True) -> DataFrame:
     """Undirected edge set, one row per unordered pair, no self-loops.
 
     degree_order=True re-orients each edge from the lower-(degree, id)
@@ -57,25 +60,32 @@ def canonical_edges(edges: DataFrame, degree_order: bool = False) -> DataFrame:
     return ordered
 
 
+def _wedges(e: DataFrame) -> DataFrame:
+    """(a, b, c) — open wedges a→b→c under the orientation of ``e``.
+    With degree ordering this is the per-vertex min(deg)² fan-out the
+    orientation exists to bound; exposed for tests/diagnostics."""
+    e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    return e1.join(e2, "b").select("a", "b", "c")
+
+
 def _triangle_rows(edges: DataFrame, degree_order: bool) -> DataFrame:
     """(a, b, c) — one row per triangle under the chosen orientation."""
     e = canonical_edges(edges, degree_order=degree_order)
-    e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    wedges = e1.join(e2, "b").select("a", "b", "c")
+    wedges = _wedges(e)
     e3 = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
     return wedges.join(e3, ["a", "c"]).select("a", "b", "c")
 
 
 def triangle_count(
-    spark: SparkSession, edges: DataFrame, degree_order: bool = False
+    spark: SparkSession, edges: DataFrame, degree_order: bool = True
 ) -> int:
     """Global triangle count (exact — oracle: brute force over src<dst set)."""
     return _triangle_rows(edges, degree_order).count()
 
 
 def triangles_per_vertex(
-    spark: SparkSession, edges: DataFrame, degree_order: bool = False
+    spark: SparkSession, edges: DataFrame, degree_order: bool = True
 ) -> DataFrame:
     """(id, triangles) — every triangle credits all three corners.
     Vertices in no triangle are absent (count 0 implied)."""

@@ -41,6 +41,26 @@ STATE_SCHEMA_DOC = "state(id: long, value: double, active: boolean, *static)"
 MAX_STEPS_PER_ACTION = 6  # in-block plan doubles per chained step
 
 
+class _MsgGlobalsUnavailable(dict):
+    """Globals dict handed to msg_fn on chained steps 2..K of a block:
+    mid-job there IS no driver-side scalar to hand out, and the in-plan
+    broadcast globals only reach apply_fn.  Any access fails loudly
+    instead of silently scattering with stale values."""
+
+    def _raise(self, key):
+        raise RuntimeError(
+            f"msg_fn reads global {key!r}, which is unavailable on chained "
+            "supersteps (globals reach only apply_fn in-plan); run with "
+            "steps_per_action=1 for specs whose msg_fn depends on globals"
+        )
+
+    def __getitem__(self, key):  # noqa: D105
+        self._raise(key)
+
+    def get(self, key, default=None):  # noqa: D102
+        self._raise(key)
+
+
 @dataclass
 class SuperstepMetrics:
     """Per-superstep counters (north_rule: messages sent, active vertices,
@@ -118,14 +138,21 @@ class PregelRunner:
         # chain K supersteps into ONE job (each still reports exact
         # metrics via its own Observation): the superstep barrier only
         # needs an ACTION when the driver must read something between
-        # steps — with no global_aggs, nothing is read, so K steps can
-        # share one scheduler round-trip. At 1000 executors the per-job
-        # driver latency is the deep-iteration bottleneck; locally it is
-        # the small-graph floor (~1.5s/step). Convergence is still exact:
-        # steps chained past the fixed point are no-ops (empty frontier →
-        # no messages → no change) and are trimmed from the result.
-        if steps_per_action > 1 and spec.global_aggs:
-            steps_per_action = 1  # globals need a driver read every step
+        # steps. At 1000 executors the per-job driver latency is the
+        # deep-iteration bottleneck; locally it is the small-graph floor
+        # (~1.5s/step). Convergence is still exact for frontier
+        # algorithms: steps chained past the fixed point are no-ops
+        # (empty frontier → no messages → no change) and are trimmed
+        # from the result.
+        #
+        # Specs WITH global_aggs (PageRank's dangling mass) chain too:
+        # the first step of each block reads the previous block's exact
+        # globals off its Observation (driver literals — the fast path,
+        # see the A/B note in _one_superstep); each FURTHER chained step
+        # computes the globals in-plan as a broadcast 1-row aggregate of
+        # the previous step's frame, so the block still needs only one
+        # action. Globals are then only available to apply_fn — a msg_fn
+        # that reads them raises loudly (no current spec does).
         if steps_per_action > MAX_STEPS_PER_ACTION:
             # each chained step references the previous state twice, so the
             # analyzed plan DOUBLES per step within a block — past ~6
@@ -205,8 +232,18 @@ class PregelRunner:
     # ------------------------------------------------------------- superstep
 
     def _one_superstep(
-        self, state: DataFrame, edges: DataFrame, g: dict, prev_active: int
+        self,
+        state: DataFrame,
+        edges: DataFrame,
+        g: dict,
+        prev_active: int,
+        inplan_globals: bool = False,
     ) -> DataFrame:
+        """One superstep's frame.  ``inplan_globals=True`` (chained steps
+        2..K of a block) computes ``spec.global_aggs`` as a broadcast
+        1-row aggregate of the INCOMING ``state`` frame instead of driver
+        literals — the state entering this step is mid-job, so its
+        aggregates cannot be driver scalars without breaking the chain."""
         spec = self.spec
         frontier = state.filter("active") if spec.use_frontier else state
         small_frontier = (
@@ -228,12 +265,13 @@ class PregelRunner:
         # the worker TCP mesh Worker.go:799-849). Aliased — state lineage can
         # derive from edges (vertices_from_edges), a classic ambiguous
         # self-join otherwise.
+        msg_g = _MsgGlobalsUnavailable() if inplan_globals else g
         msgs = (
             frontier.alias("f")
             .join(edges.alias("e"), F.col("f.id") == F.col("e.src"), "inner")
             .select(
                 F.col("e.dst").alias("id"),
-                spec.msg_fn(F.col("f.value"), F.col("e.weight"), g).alias("msg"),
+                spec.msg_fn(F.col("f.value"), F.col("e.weight"), msg_g).alias("msg"),
             )
         )
         # combine: sender-side partial agg + final agg — the exchange shuffle
@@ -261,7 +299,24 @@ class PregelRunner:
         # apply: fold inbox into state (replaces Vertex.go:68-88); both
         # sides partitioned by id → shuffle-hash, no sort
         joined = state.join(combined.hint("shuffle_hash"), "id", "left")
-        if spec.global_aggs and os.environ.get("PREGEL_GLOBALS_MODE", "literal") == "column":
+        if spec.global_aggs and inplan_globals:
+            # chained step: globals of the incoming state as a 1-row
+            # aggregate cross-joined broadcast — the whole block stays one
+            # job.  The agg is a third consumer of the previous step's
+            # frame, but its join-input exchanges are deduped by
+            # ReuseExchange, so the extra cost is one more pass over the
+            # (already-shuffled) state rows, not an extra shuffle — far
+            # cheaper than the driver round-trip + codegen recompile that
+            # an action-per-step costs on a deep iteration.
+            gdf = state.agg(
+                *[c.alias(f"_g_{k}") for k, c in spec.global_aggs.items()]
+            )
+            joined = joined.join(F.broadcast(gdf))
+            gcols = {
+                k: F.coalesce(F.col(f"_g_{k}"), F.lit(0.0))
+                for k in spec.global_aggs
+            }
+        elif spec.global_aggs and os.environ.get("PREGEL_GLOBALS_MODE", "literal") == "column":
             # alternative: globals as a broadcast 1-row frame (keeps the
             # generated code value-independent). MEASURED SLOWER here: the
             # per-step broadcast exchange + nested-loop join costs more
@@ -376,8 +431,15 @@ class PregelRunner:
             cur = state
             for j in range(k_steps):
                 obs = Observation(f"superstep_{step + j + 1}")
+                # step 1 of the block: exact globals off the previous
+                # block's Observation as driver literals (fast path);
+                # steps 2..K: globals in-plan from the incoming frame
                 full = self._one_superstep(
-                    cur, edges, g, prev_active if j == 0 else -1
+                    cur,
+                    edges,
+                    g,
+                    prev_active if j == 0 else -1,
+                    inplan_globals=(j > 0),
                 ).observe(obs, *agg_cols)
                 observations.append(obs)
                 cur = full.select("id", *spec.static_cols, "value", "active")
@@ -414,7 +476,9 @@ class PregelRunner:
                     max_delta=float(row["_maxdelta"] or 0.0),
                     num_vertices=int(row["_n"]),
                     wall_secs=block_wall / k_steps,
-                    globals=dict(g),
+                    # each step's OWN observation row — not the block-final
+                    # globals — so chained metrics equal unchained exactly
+                    globals={k: row[k] for k in spec.global_aggs},
                 )
                 metrics.append(m)
                 if m.active_vertices == 0:

@@ -289,10 +289,11 @@ def test_chained_supersteps_identical(spark):
     # fixed-iteration mode stops at exactly max_supersteps
     f2 = PregelRunner(spark, cc_spec(), steps_per_action=2).run(edges, max_supersteps=3)
     assert f2.supersteps == 3
-    # specs with global aggregates silently fall back to one job per step
+    # specs with global aggregates chain too since r4 (in-plan globals for
+    # steps 2..K of a block — see test_round4_fixes for the equivalence)
     from pregel_golang_implementation_spark.operators.pagerank import pagerank_spec
 
-    assert PregelRunner(spark, pagerank_spec(10), steps_per_action=2).steps_per_action == 1
+    assert PregelRunner(spark, pagerank_spec(10), steps_per_action=2).steps_per_action == 2
 
 
 # ------------------------------------------------- personalized PageRank

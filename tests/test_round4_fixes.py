@@ -150,3 +150,127 @@ def test_avg_k_skips_events_without_prop(spark):
         "SELECT AVG(TRY_CAST(NULLIF(regexp_extract(props, '\"k\":\\s*(\\d+)', 1), '') AS BIGINT)) FROM e"
     ).fetchone()[0]
     assert want == pytest.approx(6.0)
+
+
+# ------------------------------------------- chained supersteps with globals
+
+
+def test_pagerank_chained_supersteps_identical(spark):
+    """PageRank carries a per-superstep global (dangling mass); chained
+    blocks compute it in-plan for steps 2..K and must stay bit-identical
+    to the one-job-per-step run: same values, same per-step metrics, same
+    per-step dangling-mass observations.  Fixed 4-step runs so both
+    executions take exactly the same number of supersteps."""
+    from pregel_golang_implementation_spark.operators.pagerank import pagerank
+    from pregel_golang_implementation_spark.sources.graphs import synthetic_edges
+
+    # hub-ish seeded digraph; synthetic graphs have dangling vertices, so
+    # the global aggregate is load-bearing (dangling_mass > 0)
+    edges = synthetic_edges(spark, num_vertices=400, avg_degree=3, seed=7)
+    r1 = pagerank(spark, edges, tol=0.0, max_supersteps=4)
+    r2 = pagerank(spark, edges, tol=0.0, max_supersteps=4, steps_per_action=2)
+    a = {r["id"]: r["value"] for r in r1.state.collect()}
+    b = {r["id"]: r["value"] for r in r2.state.collect()}
+    assert a == b  # bit-identical, not approx
+    assert r1.supersteps == r2.supersteps == 4
+    m1 = [
+        (m.superstep, m.active_vertices, m.messages_sent, m.globals["dangling_mass"])
+        for m in r1.metrics
+    ]
+    m2 = [
+        (m.superstep, m.active_vertices, m.messages_sent, m.globals["dangling_mass"])
+        for m in r2.metrics
+    ]
+    assert m1 == m2
+    # mass is conserved through the chained dangling redistribution
+    mass = sum(b.values())
+    assert mass == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_chained_convergence(spark):
+    """To-convergence chained run converges to the same fixed point (the
+    trailing in-block refinements past the halt threshold are sub-tol by
+    construction, so values agree within tol)."""
+    from pregel_golang_implementation_spark.operators.pagerank import pagerank
+    from pregel_golang_implementation_spark.sources.graphs import synthetic_edges
+
+    edges = synthetic_edges(spark, num_vertices=300, avg_degree=4, seed=11)
+    r1 = pagerank(spark, edges, tol=1e-6)
+    r2 = pagerank(spark, edges, tol=1e-6, steps_per_action=2)
+    assert r2.converged
+    assert abs(r1.supersteps - r2.supersteps) <= 1
+    a = {r["id"]: r["value"] for r in r1.state.collect()}
+    b = {r["id"]: r["value"] for r in r2.state.collect()}
+    assert max(abs(a[i] - b[i]) for i in a) < 1e-6
+
+
+def test_msg_fn_reading_globals_raises_on_chained_steps(spark):
+    """A spec whose msg_fn depends on globals cannot chain — the guard
+    must raise a clear error instead of scattering stale values."""
+    from pregel_golang_implementation_spark.plans.runner import PregelRunner
+    from pregel_golang_implementation_spark.plans.spec import AlgorithmSpec, combine_sum
+
+    def init_fn(v):
+        return v.select("id", F.lit(1.0).alias("value"))
+
+    def msg_fn(value, weight, g):
+        return value * F.lit(float(g.get("total", 1.0)))  # reads a global
+
+    spec = AlgorithmSpec(
+        name="needs_globals_in_msg",
+        init_fn=init_fn,
+        msg_fn=msg_fn,
+        combine=combine_sum,
+        apply_fn=lambda old, msg, g: F.coalesce(msg, old),
+        global_aggs={"total": F.sum("value")},
+        max_supersteps=4,
+    )
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="msg_fn reads global"):
+        PregelRunner(spark, spec, steps_per_action=2).run(edges)
+    # one job per step still works for such specs
+    res = PregelRunner(spark, spec, steps_per_action=1).run(edges, max_supersteps=2)
+    assert res.supersteps == 2
+
+
+# ----------------------------------------------- degree-ordered triangles
+
+
+def test_degree_ordered_triangles_bound_hub_wedges(spark):
+    """On a hub-skewed graph the default (degree-ordered) orientation must
+    (a) count exactly the same triangles and (b) enumerate wedges from the
+    LOW-degree endpoints: the star hub's C(m,2) wedge pairs disappear."""
+    from pregel_golang_implementation_spark.operators.triangles import (
+        _wedges,
+        canonical_edges,
+        triangle_count,
+        triangles_per_vertex,
+    )
+
+    m = 120
+    hub = 61  # mid-range id: id-orientation splits hub edges in/out
+    leaves = [i for i in range(1, m + 2) if i != hub]
+    # every leaf touches the hub; consecutive leaves (sorted) also touch,
+    # so each consecutive pair closes a triangle with the hub
+    rows = [(leaf, hub) for leaf in leaves] + [
+        (leaves[j], leaves[j + 1]) for j in range(len(leaves) - 1)
+    ]
+    n_tri = len(leaves) - 1
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    assert triangle_count(spark, edges) == n_tri  # default: degree-ordered
+    assert triangle_count(spark, edges, degree_order=False) == n_tri
+    # wedge volume: id-orientation (src<dst) gives the hub ~m/2 in-edges
+    # and ~m/2 out-edges -> (m/2)^2 wedges pivot ON the hub; degree
+    # ordering points every hub edge INTO the hub (leaf degree <= 3), so
+    # zero wedges pivot on it and the total stays O(m)
+    unordered = _wedges(canonical_edges(edges, degree_order=False)).count()
+    ordered = _wedges(canonical_edges(edges, degree_order=True)).count()
+    assert unordered >= (m // 2) ** 2
+    assert ordered < 4 * m
+    # per-vertex credit is orientation-independent too
+    pv = {
+        r["id"]: r["triangles"]
+        for r in triangles_per_vertex(spark, edges).collect()
+    }
+    assert pv[hub] == n_tri  # hub corners every triangle
+    assert pv[leaves[0]] == 1 and pv[leaves[1]] == 2

@@ -96,7 +96,13 @@ def run_worker(cores: int, num_vertices: int, avg_degree: int, supersteps: int) 
     # run-to-run otherwise; all raw step walls are reported).
     import statistics
 
-    runner = PregelRunner(spark, spec, num_partitions=NUM_PARTITIONS)
+    # steps_per_action=2 (r4): chained supersteps amortize the per-job
+    # driver round-trip — the overhead that does NOT shrink with cores and
+    # therefore eats disproportionately into the high-parallelism level's
+    # throughput. In-plan dangling-mass globals keep the block exact.
+    runner = PregelRunner(
+        spark, spec, num_partitions=NUM_PARTITIONS, steps_per_action=2
+    )
     t0 = time.monotonic()
     res = runner.run(pr_edges, vertices=vertices, max_supersteps=supersteps)
     total_wall = time.monotonic() - t0
