@@ -220,6 +220,40 @@ def q_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.filter("active").select("id")
 
 
+def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O15/O19 end-to-end under the driver's hash gate: run CC for 2
+    supersteps with a durable parquet+manifest checkpoint, then RESUME
+    from the committed snapshot in a FRESH runner for 4 more — the final
+    state must be indistinguishable from an uninterrupted 6-step run
+    (oracle: the same unrolled 6-iteration CTE chain as ``cc_6iter``).
+    Reference semantics being proven: restart from the last completed
+    superstep's values, re-scatter free (Worker.go:641-654; checkpoint
+    snapshot Master.go:789-808; commit marker Master.go:969-1012)."""
+    import shutil
+    import tempfile
+
+    und = symmetrize(edges_from_lineitem(spark, sf_dir))
+    ckpt = tempfile.mkdtemp(prefix="pregel_ckpt_contract_")
+    try:
+        first = PregelRunner(
+            spark, cc_spec(), lineage_break_every=3, steps_per_action=2,
+            checkpoint_dir=ckpt, checkpoint_every=2,
+        )
+        first.run(und, max_supersteps=2)
+        resumed = PregelRunner(
+            spark, cc_spec(), lineage_break_every=3, steps_per_action=2,
+            checkpoint_dir=ckpt,
+        )
+        res = resumed.resume(und, max_supersteps=CC_ITERS - 2)
+        # result state is eagerly localCheckpoint-ed by the runner, so it
+        # no longer depends on the snapshot files deleted below
+        return res.state.select(
+            "id", F.col("value").cast("long").alias("component")
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """part–part co-purchase graph: parts appearing in ≥2 common orders."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
@@ -478,6 +512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank_5iter": q_pagerank,
         "cc_6iter": q_cc,
+        "checkpoint_resume": q_checkpoint_resume,
         "incremental_cc": q_incremental_cc,
         "sssp_4iter": q_sssp,
         "lpa_2iter": q_lpa,
@@ -826,6 +861,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pagerank_5iter": _pagerank_sql(PR_ITERS),
         "cc_6iter": _cc_sql(CC_ITERS),
+        # resume(2 + 4 steps) must equal the uninterrupted 6-step run —
+        # the oracle is literally the same 6-iteration chain
+        "checkpoint_resume": _cc_sql(CC_ITERS),
         "incremental_cc": _incremental_cc_sql(INC_CC_PRIOR_ITERS, INC_CC_ITERS),
         "sssp_4iter": _sssp_sql(SSSP_ITERS),
         "lpa_2iter": _lpa_sql(LPA_ITERS),

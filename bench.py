@@ -62,11 +62,14 @@ def main() -> None:
     warm = synthetic_edges(spark, num_vertices=2000, avg_degree=4, seed=7)
     pagerank(spark, warm, tol=0.0, max_supersteps=2)
 
-    # steps_per_action=2: two supersteps share one job/scheduler round-trip;
-    # since r4 this includes globals-bearing PageRank (the dangling mass for
-    # the block's 2nd step is an in-plan broadcast 1-row aggregate)
+    # PageRank runs UNchained (spa=1): the r4 A/B at sf0.1 (600k edges)
+    # and at 156M edges both measured chained globals-bearing blocks
+    # slower once per-step work exceeds the ~0.3s driver floor (the
+    # in-plan globals' lazy-checkpoint dedup costs more than the saved
+    # round-trip). CC/SSSP below keep spa=2 — frontier steps shrink to
+    # the floor where chaining wins (r2: CC 13→10.7s).
     t0 = time.monotonic()
-    pr = pagerank(spark, edges, tol=1e-6, max_supersteps=100, steps_per_action=2)
+    pr = pagerank(spark, edges, tol=1e-6, max_supersteps=100)
     pr.state.count()
     dt = time.monotonic() - t0
     timings["pagerank_1e6"] = round(dt, 3)

@@ -7,10 +7,14 @@ Decode reality, by modality:
           imaging library), and only non-netpbm payloads fall to the
           deterministic byte-histogram stub;
   audio — REAL for PCM WAV everywhere (stdlib ``wave`` + numpy, no codec
-          libraries needed); compressed codecs degrade per-payload to a
-          deterministic stub marked ``decoded=false``;
-  video — stubbed (no codecs in any base image); the Spark plumbing
-          (explode to frame rows, bounded fan-out) is real.
+          libraries needed); compressed codecs decode for real when
+          ``soundfile`` is importable (auto-probed, like Pillow), else
+          degrade per-payload to a deterministic stub marked
+          ``decoded=false``;
+  video — REAL frame sampling when PyAV (ffmpeg bindings) is importable
+          (auto-probed); without codecs the deterministic byte-window
+          stub runs with ``decoded=false``; the Spark plumbing (explode
+          to frame rows, bounded fan-out) is identical either way.
 Everything Spark-side is real and tested in all cases: the schema, the
 binary column handling, the Arrow batch shape, the UDF signatures, and
 the partitioning.  Swap the remaining stubs for torchaudio/ffmpeg calls
@@ -217,6 +221,28 @@ def decode_features(
 
 AUDIO_FEATURE_BINS = 8
 
+# Compressed-codec escape hatch, same auto-upgrade pattern as Pillow for
+# images: when ``soundfile`` (libsndfile) is importable, FLAC/OGG/etc.
+# decode for real; the path is chosen ONCE on the driver, and an executor
+# missing the library fails loudly (heterogeneous pools must never mix
+# real and stub features in one column).
+try:  # pragma: no cover - exercised only where soundfile is installed
+    import soundfile as _soundfile
+
+    HAS_SOUNDFILE = True
+except ImportError:
+    _soundfile = None
+    HAS_SOUNDFILE = False
+
+# Video: real frame decode when PyAV (ffmpeg bindings) is importable.
+try:  # pragma: no cover - exercised only where PyAV is installed
+    import av as _pyav
+
+    HAS_PYAV = True
+except ImportError:
+    _pyav = None
+    HAS_PYAV = False
+
 
 def _wav_decode_audio(payload: bytes) -> dict | None:
     """REAL audio decode for PCM WAV — needs only stdlib ``wave`` +
@@ -266,6 +292,46 @@ def _wav_decode_audio(payload: bytes) -> dict | None:
     }
 
 
+def _soundfile_decode_audio(payload: bytes) -> dict | None:  # pragma: no cover
+    """Real compressed-codec decode (FLAC/OGG/…) via libsndfile, used only
+    when ``soundfile`` was importable on the DRIVER.  Missing library on
+    an executor raises (config error, fail fast); an undecodable payload
+    returns None (data property — falls through to the stub).  Output
+    contract is identical to ``_wav_decode_audio``."""
+    import io
+
+    if _soundfile is None:
+        raise RuntimeError(
+            "decode_audio_features resolved to the soundfile path on the "
+            "driver, but soundfile is not importable on this executor — "
+            "install it on every executor image, or pass use_soundfile=False"
+        )
+    try:
+        x, rate = _soundfile.read(io.BytesIO(payload), dtype="float64", always_2d=True)
+    except Exception:
+        return None
+    nch = x.shape[1]
+    x = x.mean(axis=1)
+    if x.size == 0:
+        return None
+    mag = np.abs(np.fft.rfft(x))
+    bands = np.array_split(mag, AUDIO_FEATURE_BINS)
+    prof = np.array([b.sum() for b in bands])
+    tot = prof.sum()
+    return {
+        "decoded": True,
+        "sample_rate": int(rate),
+        "n_channels": int(nch),
+        "n_samples": int(x.size),
+        "duration_secs": float(x.size / rate) if rate else 0.0,
+        "rms": float(np.sqrt(np.mean(x * x))),
+        "zero_crossing_rate": float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+        if x.size > 1
+        else 0.0,
+        "features": (prof / tot if tot > 0 else prof).tolist(),
+    }
+
+
 def _fake_decode_audio(payload: bytes) -> dict:
     """STUB fallback for non-WAV payloads (compressed codecs are not in
     this container): deterministic byte-level features, decoded=False so
@@ -284,21 +350,30 @@ def _fake_decode_audio(payload: bytes) -> dict:
     }
 
 
-def decode_audio_features(media: DataFrame) -> DataFrame:
+def decode_audio_features(
+    media: DataFrame, use_soundfile: bool | None = None
+) -> DataFrame:
     """(media_id, decoded, sample_rate, n_channels, n_samples,
     duration_secs, rms, zero_crossing_rate, features) — audio decode /
     feature-extract over Arrow batches.  PCM WAV decodes FOR REAL
-    (stdlib ``wave``); other codecs degrade to the deterministic stub
-    with ``decoded=false`` — per-PAYLOAD fallback is a data property
-    (format mix in one table is normal), unlike the image path's
-    fail-fast on a missing library (an executor-image config error)."""
+    (stdlib ``wave``); with ``soundfile`` importable (auto-detected on
+    the driver, like the image path's Pillow probe) compressed codecs
+    decode for real too; anything still undecodable degrades to the
+    deterministic stub with ``decoded=false`` — per-PAYLOAD fallback is
+    a data property (format mix in one table is normal), while a MISSING
+    library on an executor after the driver chose the codec path fails
+    loudly (an executor-image config error)."""
+    sf_path = HAS_SOUNDFILE if use_soundfile is None else use_soundfile
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 raw = p if isinstance(p, (bytes, bytearray)) else bytes(p)
-                d = _wav_decode_audio(raw) or _fake_decode_audio(raw)
+                d = _wav_decode_audio(raw)
+                if d is None and sf_path:
+                    d = _soundfile_decode_audio(raw)
+                d = d or _fake_decode_audio(raw)
                 d["media_id"] = mid
                 rows.append(d)
             yield pd.DataFrame(rows)
@@ -313,29 +388,91 @@ def decode_audio_features(media: DataFrame) -> DataFrame:
     )
 
 
-def frame_sample(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
-    """(media_id, frame_no, frame_sha256) — video frame-sampling STUB:
-    real videos would decode + sample every Nth frame; the fake samples
-    every Nth byte-window of the payload and fingerprints it.  The Spark
-    plumbing (explode to frame rows, per-frame hash, bounded fan-out) is
-    the real part."""
+def _av_frame_hashes(  # pragma: no cover
+    payload: bytes, every_n_frames: int, max_frames: int
+) -> list[str] | None:
+    """Real video frame sampling via PyAV/ffmpeg (used only when ``av``
+    was importable on the DRIVER): decode, keep every Nth frame up to
+    ``max_frames``, fingerprint each frame's grayscale pixels.  Missing
+    library on an executor raises (config error); an undecodable payload
+    returns None (data property — stub fallback)."""
+    import hashlib
+    import io
+
+    if _pyav is None:
+        raise RuntimeError(
+            "frame_sample resolved to the PyAV path on the driver, but av "
+            "is not importable on this executor — install it on every "
+            "executor image, or pass use_av=False"
+        )
+    try:
+        out: list[str] = []
+        with _pyav.open(io.BytesIO(payload)) as container:
+            for i, frame in enumerate(container.decode(video=0)):
+                if i % every_n_frames:
+                    continue
+                arr = frame.to_ndarray(format="gray")
+                out.append(hashlib.sha256(arr.tobytes()).hexdigest())
+                if len(out) >= max_frames:
+                    break
+        return out or None
+    except Exception:
+        return None
+
+
+def frame_sample(
+    media: DataFrame,
+    every_n_bytes: int = 64,
+    max_frames: int = 8,
+    every_n_frames: int = 10,
+    use_av: bool | None = None,
+) -> DataFrame:
+    """(media_id, frame_no, frame_sha256, decoded) — video frame
+    sampling.  With PyAV importable (auto-detected on the driver, same
+    probe pattern as Pillow/soundfile) frames decode FOR REAL: every
+    ``every_n_frames``-th frame up to ``max_frames``, fingerprinted by
+    grayscale pixel content (decoded=true).  Without it — this
+    container has no codecs — the deterministic STUB fingerprints every
+    ``every_n_bytes``-th byte-window instead (decoded=false; the Spark
+    plumbing — explode to frame rows, per-frame hash, bounded fan-out —
+    is identical either way)."""
+    av_path = HAS_PYAV if use_av is None else use_av
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         for pdf in batches:
-            ids, frames, hashes = [], [], []
+            ids, frames, hashes, decflags = [], [], [], []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 raw = p if isinstance(p, (bytes, bytearray)) else bytes(p)
+                real = (
+                    _av_frame_hashes(raw, every_n_frames, max_frames)
+                    if av_path
+                    else None
+                )
+                if real is not None:
+                    for k, h in enumerate(real):
+                        ids.append(mid)
+                        frames.append(k)
+                        hashes.append(h)
+                        decflags.append(True)
+                    continue
                 for k in range(min(max_frames, max(1, len(raw) // every_n_bytes))):
                     chunk = raw[k * every_n_bytes : (k + 1) * every_n_bytes]
                     ids.append(mid)
                     frames.append(k)
                     hashes.append(hashlib.sha256(chunk).hexdigest())
+                    decflags.append(False)
             yield pd.DataFrame(
-                {"media_id": ids, "frame_no": frames, "frame_sha256": hashes}
+                {
+                    "media_id": ids,
+                    "frame_no": frames,
+                    "frame_sha256": hashes,
+                    "decoded": decflags,
+                }
             )
 
     return media.select("media_id", "payload").mapInPandas(
-        sample, schema="media_id long, frame_no int, frame_sha256 string"
+        sample,
+        schema="media_id long, frame_no int, frame_sha256 string, decoded boolean",
     )

@@ -153,6 +153,17 @@ class PregelRunner:
         # the previous step's frame, so the block still needs only one
         # action. Globals are then only available to apply_fn — a msg_fn
         # that reads them raises loudly (no current spec does).
+        #
+        # WHEN TO CHAIN (measured, r4): chaining trades one driver
+        # round-trip (~0.3s) for the in-block cost of sharing the
+        # intermediate state between its consumers (a lazy localCheckpoint
+        # write + reads). That wins when per-step wall sits near the
+        # driver floor (frontier algorithms whose steps shrink to ~1s;
+        # sf0.01-scale fixed-iteration runs; very large clusters where
+        # scheduling dominates) and LOSES when per-step work is tens of
+        # seconds: at 8M vertices / 156M edges on local[16], spa=2
+        # measured 5.6M edges/s vs spa=1's 8.4M. Default stays 1; callers
+        # opt in where their step wall is floor-bound.
         if steps_per_action > MAX_STEPS_PER_ACTION:
             # each chained step references the previous state twice, so the
             # analyzed plan DOUBLES per step within a block — past ~6
@@ -440,7 +451,26 @@ class PregelRunner:
                     g,
                     prev_active if j == 0 else -1,
                     inplan_globals=(j > 0),
-                ).observe(obs, *agg_cols)
+                )
+                if j < k_steps - 1:
+                    # LAZY localCheckpoint: pins the intermediate step to
+                    # ONE physical RDD, so its chained consumers (next
+                    # scatter, next apply probe, in-plan globals agg, the
+                    # per-step observe) share a single execution of this
+                    # step's apply join via stage-level dedup — still zero
+                    # actions, one job per block.  Without it each consumer
+                    # re-executed the join (exchanges were reused, joins
+                    # were not): measured 1.8× block cost on 8M vertices /
+                    # 156M edges at local[16].  A .repartition dedup point
+                    # gets optimizer-removed as redundant (state is already
+                    # id-partitioned); the lazy checkpoint preserves that
+                    # partitioning, so no extra exchange appears.  The
+                    # checkpoint must sit BELOW the observe: a CollectMetrics
+                    # captured inside the checkpointed RDD belongs to an
+                    # inner query execution whose metrics never reach this
+                    # block's action (observed: zeros → false convergence).
+                    full = full.localCheckpoint(eager=False)
+                full = full.observe(obs, *agg_cols)
                 observations.append(obs)
                 cur = full.select("id", *spec.static_cols, "value", "active")
             new_state = cur.persist()

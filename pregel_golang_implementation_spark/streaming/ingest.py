@@ -16,6 +16,21 @@ EDGE_SCHEMA = T.StructType(
     ]
 )
 
+# Transactional-table-format escape hatch (same probe pattern as the
+# multimodal codec upgrades): when delta-spark is importable — its jars
+# ship with the pip package and must be on the session's classpath via
+# spark.sql.extensions — the edge table can be a Delta table and
+# compaction becomes one snapshot-isolated commit instead of the careful
+# file-level protocol below.  Not in this image; the probe keeps the
+# deployment story honest without a hard dependency.
+try:  # pragma: no cover - exercised only where delta-spark is installed
+    from delta.tables import DeltaTable as _DeltaTable
+
+    HAS_DELTA = True
+except ImportError:
+    _DeltaTable = None
+    HAS_DELTA = False
+
 
 def edge_stream_ingest(
     spark: SparkSession,
@@ -23,6 +38,7 @@ def edge_stream_ingest(
     table_dir: str,
     checkpoint_dir: str,
     trigger_once: bool = True,
+    table_format: str = "parquet",
 ):
     """Stream edge files (parquet) from ``input_dir`` into the engine's
     edge table at ``table_dir``.
@@ -49,7 +65,8 @@ def edge_stream_ingest(
             .filter(F.col("src") != F.col("dst"))
             .dropDuplicates(["src", "dst"])
             .write.mode("append")
-            .parquet(table_dir)
+            .format(table_format)  # "delta" when the jars are present
+            .save(table_dir)
         )
 
     writer = (
@@ -61,7 +78,9 @@ def edge_stream_ingest(
     return writer.start()
 
 
-def compact_edge_table(spark: SparkSession, table_dir: str) -> int:
+def compact_edge_table(
+    spark: SparkSession, table_dir: str, table_format: str = "parquet"
+) -> int:
     """Cross-batch dedup compaction for the streamed edge table: collapse
     to one row per (src, dst) with the min weight (matching
     ``edges_from_lineitem``'s deterministic-weight rule).
@@ -80,11 +99,41 @@ def compact_edge_table(spark: SparkSession, table_dir: str) -> int:
     directory always exists.  A concurrent reader may transiently see a
     row twice (old file + compacted copy) in the brief move-in window —
     the pre-compaction duplicate state, which every consumer of this
-    table already tolerates.  Exactly-once needs a snapshotting table
-    format (Iceberg/Delta — jars not in this image).  Returns the
-    compacted row count."""
+    table already tolerates.
+
+    ``table_format="delta"`` (requires delta-spark — jars not in this
+    image; probe with ``HAS_DELTA``) replaces the whole protocol with
+    one snapshot-isolated transactional overwrite: readers see either
+    the old or the compacted snapshot, never the move-in window, and a
+    micro-batch that commits an append concurrently makes the overwrite
+    fail with a conflict, which is retried against the fresh snapshot —
+    so the appended rows are always either in the compaction input or
+    untouched on top of it.  Returns the compacted row count."""
     import shutil
     import uuid
+
+    if table_format == "delta":  # pragma: no cover - needs delta-spark jars
+        if not HAS_DELTA:
+            raise RuntimeError(
+                "compact_edge_table(table_format='delta') needs delta-spark "
+                "importable and its SQL extension configured on the session"
+            )
+        for attempt in range(3):
+            try:
+                compacted = (
+                    spark.read.format("delta")
+                    .load(table_dir)
+                    .groupBy("src", "dst")
+                    .agg(F.min("weight").alias("weight"))
+                )
+                compacted.write.format("delta").mode("overwrite").save(table_dir)
+                return spark.read.format("delta").load(table_dir).count()
+            except Exception:
+                # optimistic-concurrency conflict with a concurrent append:
+                # retry against the new snapshot; re-raise once exhausted
+                if attempt == 2:
+                    raise
+        raise AssertionError("unreachable")
 
     snapshot = sorted(
         name

@@ -96,12 +96,19 @@ def run_worker(cores: int, num_vertices: int, avg_degree: int, supersteps: int) 
     # run-to-run otherwise; all raw step walls are reported).
     import statistics
 
-    # steps_per_action=2 (r4): chained supersteps amortize the per-job
-    # driver round-trip — the overhead that does NOT shrink with cores and
-    # therefore eats disproportionately into the high-parallelism level's
-    # throughput. In-plan dangling-mass globals keep the block exact.
+    # steps_per_action=1 at this input size — measured, not assumed: the
+    # r4 A/B at 8M vertices / 156M edges, local[16], same windows, gave
+    # chained spa=2 5.6M edges/s vs unchained 8.4M (and 3.8M before the
+    # lazy-checkpoint dedup of the intermediate state). With ~20s
+    # supersteps the ~0.3s driver round-trip chaining saves is noise,
+    # while any in-block dedup of the intermediate state (recompute or
+    # localCheckpoint) costs seconds per step. Chaining pays near the
+    # driver-latency floor (sub-2s steps: small graphs, or very large
+    # clusters where scheduling dominates) — not here.
+    # PREGEL_SCALING_SPA overrides for A/B (recorded in the JSON).
+    spa = int(os.environ.get("PREGEL_SCALING_SPA", "1"))
     runner = PregelRunner(
-        spark, spec, num_partitions=NUM_PARTITIONS, steps_per_action=2
+        spark, spec, num_partitions=NUM_PARTITIONS, steps_per_action=spa
     )
     t0 = time.monotonic()
     res = runner.run(pr_edges, vertices=vertices, max_supersteps=supersteps)

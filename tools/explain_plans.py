@@ -67,6 +67,22 @@ def main() -> None:
     s1 = cc_runner._one_superstep(cc_state, e, {}, -1).select("id", "value", "active")
     s2 = cc_runner._one_superstep(s1, e, {}, -1).select("id", "value", "active")
     sections.append(("two chained supersteps, one job (steps_per_action=2)", grab(s2)))
+
+    # 2c. chained GLOBALS-bearing supersteps (r4): PageRank step 2 of a
+    # block reads the dangling mass as a broadcast 1-row aggregate of
+    # step 1's frame (BroadcastNestedLoopJoin of a single row) — one job
+    # for the block, no driver read between the steps
+    p1 = runner._one_superstep(state, e, {"dangling_mass": 0.0}, -1).select(
+        "id", "is_dangling", "value", "active"
+    )
+    p2 = runner._one_superstep(p1, e, {}, -1, inplan_globals=True)
+    chained_globals_plan = grab(p2)
+    assert "BroadcastNestedLoopJoin" in chained_globals_plan or "BroadcastExchange" in chained_globals_plan, (
+        "chained-globals superstep must broadcast the 1-row globals aggregate"
+    )
+    sections.append(
+        ("chained globals-bearing supersteps (in-plan dangling mass)", chained_globals_plan)
+    )
     e.unpersist()
 
     # 3. scale-safe vertex-id assignment: the window is partitioned by
