@@ -36,6 +36,7 @@ from pregel_golang_implementation_spark.operators.dedup import (
     ngram_containment,
     ngram_jaccard,
     simhash,
+    simhash_near_dups,
     word_shingles,
 )
 from pregel_golang_implementation_spark.operators.events import (
@@ -125,6 +126,27 @@ def q_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = symmetrize(edges_from_lineitem(spark, sf_dir))
     res = _runner(spark, cc_spec()).run(und, max_supersteps=CC_ITERS)
     return res.state.select("id", F.col("value").cast("long").alias("component"))
+
+
+def q_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component-size distribution — the aggregate a link-graph user
+    reads first; composes the BSP result with a plain groupBy."""
+    return (
+        q_cc(spark, sf_dir)
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+    )
+
+
+def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-degree histogram over the directed edge table: (degree,
+    n_vertices).  Two partial-aggregated shuffles, output is tiny."""
+    return (
+        q_degrees(spark, sf_dir)
+        .select((F.col("out_deg") + F.col("in_deg")).alias("degree"))
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+    )
 
 
 def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -308,6 +330,15 @@ def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir), bits=16)
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming near-dup pairs — banded candidates (pigeonhole:
+    max_hamming+1 bands → perfect recall), bit_count(XOR) verify.  The
+    oracle is the brute-force n² Hamming join: identical answers prove
+    the banding prunes work without losing pairs."""
+    out = simhash_near_dups(_docs(spark, sf_dir), bits=16, max_hamming=3)
+    return out.select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -513,6 +544,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_5iter": q_pagerank,
         "cc_6iter": q_cc,
         "checkpoint_resume": q_checkpoint_resume,
+        "component_sizes": q_component_sizes,
+        "degree_histogram": q_degree_histogram,
+        "simhash_near_dups": q_simhash_near_dups,
         "incremental_cc": q_incremental_cc,
         "sssp_4iter": q_sssp,
         "lpa_2iter": q_lpa,
@@ -782,6 +816,17 @@ def _shingles_sql(src: str = "documents") -> str:
 
 _SHINGLES = _shingles_sql("documents")
 
+_SIMHASH16_SQL = (
+    "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok FROM documents), "
+    "h AS (SELECT doc_id, md5(tok) AS hh FROM toks), "
+    "vv AS (SELECT doc_id, unnest(generate_series(0, 15)) AS j, hh FROM h), "
+    "votes AS (SELECT doc_id, j, CASE WHEN substr(hh, j + 1, 1) IN "
+    "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS vt FROM vv), "
+    "bitsum AS (SELECT doc_id, j, SUM(vt) AS s FROM votes GROUP BY 1, 2) "
+    "SELECT doc_id, CAST(SUM(CASE WHEN s >= 0 THEN POW(2, j) ELSE 0 END) AS BIGINT) AS simhash "
+    "FROM bitsum GROUP BY 1"
+)
+
 def _minhash_sql(src: str = "documents") -> str:
     return (
         _shingles_sql(src) + ", "
@@ -864,6 +909,19 @@ def oracle_sql() -> dict[str, str]:
         # resume(2 + 4 steps) must equal the uninterrupted 6-step run —
         # the oracle is literally the same 6-iteration chain
         "checkpoint_resume": _cc_sql(CC_ITERS),
+        "component_sizes": (
+            "SELECT component, CAST(COUNT(*) AS BIGINT) AS n_vertices "
+            f"FROM ({_cc_sql(CC_ITERS)}) GROUP BY 1"
+        ),
+        "degree_histogram": (
+            f"WITH {_E}, "
+            "od AS (SELECT src AS id, COUNT(*) AS out_deg FROM e GROUP BY 1), "
+            "id_ AS (SELECT dst AS id, COUNT(*) AS in_deg FROM e GROUP BY 1), "
+            "deg AS (SELECT COALESCE(out_deg, 0) + COALESCE(in_deg, 0) AS degree "
+            "FROM od FULL OUTER JOIN id_ ON od.id = id_.id) "
+            "SELECT CAST(degree AS BIGINT) AS degree, CAST(COUNT(*) AS BIGINT) AS n_vertices "
+            "FROM deg GROUP BY 1"
+        ),
         "incremental_cc": _incremental_cc_sql(INC_CC_PRIOR_ITERS, INC_CC_ITERS),
         "sssp_4iter": _sssp_sql(SSSP_ITERS),
         "lpa_2iter": _lpa_sql(LPA_ITERS),
@@ -907,15 +965,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id "
             "WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.05"
         ),
-        "simhash16": (
-            "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok FROM documents), "
-            "h AS (SELECT doc_id, md5(tok) AS hh FROM toks), "
-            "vv AS (SELECT doc_id, unnest(generate_series(0, 15)) AS j, hh FROM h), "
-            "votes AS (SELECT doc_id, j, CASE WHEN substr(hh, j + 1, 1) IN "
-            "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS vt FROM vv), "
-            "bitsum AS (SELECT doc_id, j, SUM(vt) AS s FROM votes GROUP BY 1, 2) "
-            "SELECT doc_id, CAST(SUM(CASE WHEN s >= 0 THEN POW(2, j) ELSE 0 END) AS BIGINT) AS simhash "
-            "FROM bitsum GROUP BY 1"
+        "simhash16": _SIMHASH16_SQL,
+        # brute-force n² Hamming join — the banded Spark plan must return
+        # the identical pair set (pigeonhole recall proof under the hash)
+        "simhash_near_dups": (
+            f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming "
+            f"FROM ({_SIMHASH16_SQL}) a JOIN ({_SIMHASH16_SQL}) b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
         ),
         "token_stats": (
             "SELECT doc_id, "

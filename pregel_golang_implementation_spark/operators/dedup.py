@@ -504,3 +504,58 @@ def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text", id_col: str
             for j in range(bits)
         ).cast("long").alias("simhash"),
     )
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    bits: int = 16,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) — document pairs whose simhash Hamming
+    distance is ≤ ``max_hamming``: the third dedup family (alongside
+    MinHash-Jaccard and embedding-cosine), catching small in-place edits
+    that barely move the per-bit majority vote.
+
+    EXACT at scale without the n² join: the simhash is split into
+    ``max_hamming + 1`` equal bit-bands; by pigeonhole, any pair within
+    ``max_hamming`` differing bits agrees on at least one whole band, so
+    the band-equality self-join (the same candidates-then-verify shape
+    as LSH) has **perfect recall** — the banding prunes work, never
+    answers.  Verification is one ``bit_count(a XOR b)`` per candidate
+    (JVM intrinsic).  ``bits`` must divide evenly into the bands.
+
+    Skew note: a band value shared by k docs yields k²/2 candidates —
+    dominated by near-identical corpora, which exact-collapse first
+    (``exact_representatives``) like every other dedup path here."""
+    nbands = max_hamming + 1
+    assert bits % nbands == 0, "bits must split evenly into max_hamming+1 bands"
+    w = bits // nbands
+    sig = simhash(docs, bits=bits, text_col=text_col, id_col=id_col)
+    mask = (1 << w) - 1
+    band_vals = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), b * w).bitwiseAND(F.lit(mask)).alias("val"),
+            )
+            for b in range(nbands)
+        ]
+    )
+    banded = sig.select("doc_id", "simhash", F.explode(band_vals).alias("bv")).select(
+        "doc_id", "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
+    )
+    l = banded.select("band", "val", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("_ha"))
+    r = banded.select("band", "val", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("_hb"))
+    return (
+        l.join(r, ["band", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -338,3 +338,42 @@ def test_delta_compaction_probe(spark, tmp_path):
         for r in spark.read.parquet(tdir).collect()
     }
     assert rows[(1, 2)] == 1.0
+
+
+# --------------------------------------------------- simhash near-dups
+
+
+def test_simhash_banding_has_perfect_recall(spark):
+    """Pigeonhole guarantee: with max_hamming+1 bands, every pair within
+    max_hamming differing bits shares >=1 whole band — the banded plan
+    must return exactly the brute-force n² Hamming join's pairs."""
+    from pregel_golang_implementation_spark.operators.dedup import (
+        simhash,
+        simhash_near_dups,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, base + f" tail{i % 7}") for i in range(40)] + [
+        (100, base),
+        (101, base + " x"),
+        (102, "completely different text about graph engines at scale"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = simhash(docs, bits=16)
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("_ha"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("_hb"))
+    brute = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+    )
+    want = {(r["doc_a"], r["doc_b"], r["hamming"]) for r in brute.collect()}
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_near_dups(docs, bits=16, max_hamming=3).collect()
+    }
+    assert got == want and len(want) > 0

@@ -314,5 +314,6 @@ if __name__ == "__main__":
         v = int(sys.argv[2]) if len(sys.argv) > 2 else 700_000
         d = int(sys.argv[3]) if len(sys.argv) > 3 else 8
         s = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+        reps = int(sys.argv[5]) if len(sys.argv) > 5 else 3
         prepare_graph(v, d)
-        orchestrate(n, v, d, s)
+        orchestrate(n, v, d, s, repeats=reps)
