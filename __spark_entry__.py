@@ -293,6 +293,20 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_triangles_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle participation (every triangle credits all
+    three corners) — degree-ordered enumeration, orientation-independent
+    counts; oracle enumerates under the plain src<dst orientation."""
+    from pregel_golang_implementation_spark.operators.triangles import (
+        triangles_per_vertex,
+    )
+
+    e = _copurchase_edges(spark, sf_dir)
+    return triangles_per_vertex(spark, e).select(
+        "id", F.col("triangles").cast("long").alias("triangles")
+    )
+
+
 def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # degree_order=True (r4 default): identical count, but wedge
     # enumeration fans out from low-degree endpoints — the orientation
@@ -554,6 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vertex_degrees": q_degrees,
         "frontier_after_2": q_frontier,
         "triangle_count": q_triangles,
+        "triangles_per_vertex": q_triangles_per_vertex,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash,
         "lsh_candidate_pairs": q_lsh_pairs,
@@ -943,6 +958,16 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1, 2 HAVING COUNT(*) >= 2) "
             "SELECT COUNT(*) AS n_triangles FROM pp e1 "
             "JOIN pp e2 ON e1.dst = e2.src JOIN pp e3 ON e3.src = e1.src AND e3.dst = e2.dst"
+        ),
+        "triangles_per_vertex": (
+            "WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), "
+            "pp AS (SELECT a.p AS src, b.p AS dst FROM li a JOIN li b ON a.o = b.o AND a.p < b.p "
+            "GROUP BY 1, 2 HAVING COUNT(*) >= 2), "
+            "tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c FROM pp e1 "
+            "JOIN pp e2 ON e1.dst = e2.src JOIN pp e3 ON e3.src = e1.src AND e3.dst = e2.dst) "
+            "SELECT id, CAST(COUNT(*) AS BIGINT) AS triangles FROM "
+            "(SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri) "
+            "GROUP BY 1"
         ),
         "dedup_exact": (
             "SELECT md5(text) AS content_hash, COUNT(*) AS n_docs, "
