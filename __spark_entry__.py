@@ -76,6 +76,7 @@ PR_ITERS = 5
 CC_ITERS = 6
 SSSP_ITERS = 4
 LPA_ITERS = 2
+LPA4_ITERS = 4
 KNN_QUERY_IDS = [0, 1, 2, 3, 4]
 KNN_K = 5
 RESOLVE_ITERS = 6
@@ -120,6 +121,29 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.select(
         "id", F.round(F.col("value"), 6).alias("rank")
     )
+
+
+def q_pagerank_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hub-salted PageRank under the driver gate (SURVEY.md §4 P7, the
+    10^12-scale skew lever): same 5 fixed supersteps as ``pagerank_5iter``
+    but with ``salt_degree_threshold=10`` — at sf0.01 every part-side
+    vertex (in-degree ≈ 30) splits its inbox across 4 salt replicas, so
+    the salted combine + recombine_sum merge path is what the oracle
+    hash actually checks.  The oracle is the UNSALTED recurrence:
+    salting must be a pure execution strategy, invisible in the result."""
+    edges = edges_from_lineitem(spark, sf_dir)
+    pr_edges, vertices = prepare_pagerank_graph(edges)
+    n = vertices.count()
+    runner = PregelRunner(
+        spark,
+        pagerank_spec(n, damping=0.85, tol=1e-12),
+        lineage_break_every=3,
+        steps_per_action=2,
+        salt_degree_threshold=10,
+        num_salts=4,
+    )
+    res = runner.run(pr_edges, vertices=vertices, max_supersteps=PR_ITERS)
+    return res.state.select("id", F.round(F.col("value"), 6).alias("rank"))
 
 
 def q_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -201,6 +225,16 @@ def q_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = symmetrize(edges_from_lineitem(spark, sf_dir))
     res = _runner(spark, lpa_spec()).run(und, max_supersteps=LPA_ITERS)
+    return res.state.select("id", F.col("value").cast("long").alias("label"))
+
+
+def q_lpa4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LPA deeper than the 2-step row: 4 synchronous supersteps, where
+    the interesting dynamics (labels flowing back, oscillation pressure,
+    repeated tie-breaks — SURVEY.md §7 hard part (b)) actually appear.
+    Oracle: the same mode+smallest-label recurrence unrolled 4×."""
+    und = symmetrize(edges_from_lineitem(spark, sf_dir))
+    res = _runner(spark, lpa_spec()).run(und, max_supersteps=LPA4_ITERS)
     return res.state.select("id", F.col("value").cast("long").alias("label"))
 
 
@@ -556,6 +590,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank_5iter": q_pagerank,
+        "pagerank_salted": q_pagerank_salted,
         "cc_6iter": q_cc,
         "checkpoint_resume": q_checkpoint_resume,
         "component_sizes": q_component_sizes,
@@ -564,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_cc": q_incremental_cc,
         "sssp_4iter": q_sssp,
         "lpa_2iter": q_lpa,
+        "lpa_4iter": q_lpa4,
         "scatter_combine_min": q_scatter_combine,
         "vertex_degrees": q_degrees,
         "frontier_after_2": q_frontier,
@@ -920,6 +956,9 @@ def _dedup_resolve_sql(iters: int, threshold: float) -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "pagerank_5iter": _pagerank_sql(PR_ITERS),
+        # salting is an execution strategy, not a semantics change — the
+        # salted run must hash-match the plain unsalted recurrence
+        "pagerank_salted": _pagerank_sql(PR_ITERS),
         "cc_6iter": _cc_sql(CC_ITERS),
         # resume(2 + 4 steps) must equal the uninterrupted 6-step run —
         # the oracle is literally the same 6-iteration chain
@@ -940,6 +979,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_cc": _incremental_cc_sql(INC_CC_PRIOR_ITERS, INC_CC_ITERS),
         "sssp_4iter": _sssp_sql(SSSP_ITERS),
         "lpa_2iter": _lpa_sql(LPA_ITERS),
+        "lpa_4iter": _lpa_sql(LPA4_ITERS),
         "scatter_combine_min": (
             f"WITH {_E} SELECT dst AS id, MIN(src + weight) AS msg, "
             "COUNT(*) AS n_msgs FROM e GROUP BY dst"

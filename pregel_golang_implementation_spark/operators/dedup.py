@@ -379,12 +379,6 @@ def near_dup_clusters(
          diameter walked; near-dup clusters converge in a few steps
          (a fixed bound also keeps the operator oracle-expressible).
     """
-    from pregel_golang_implementation_spark.operators.connected_components import (
-        cc_spec,
-        symmetrize,
-    )
-    from pregel_golang_implementation_spark.plans.runner import PregelRunner
-
     d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     exact = exact_duplicates(d)  # (content_hash, n_docs, canonical_id)
     with_hash = d.select("doc_id", F.md5(F.col("text")).alias("content_hash"))
@@ -415,6 +409,37 @@ def near_dup_clusters(
         # shingle persist the docstring above rejects — shingles stay lazy,
         # so verify still re-tokenizes candidate docs only.)
         bands_cached = bands = bands.persist()
+    try:
+        return _near_dup_clusters_body(
+            d, bands, exact_edges, reps, sh, shingle_n, threshold,
+            max_supersteps, max_bucket_size, docs.sparkSession,
+        )
+    finally:
+        # released whether the probe / pair join / runner succeeded or
+        # raised — a failed resolve must not leak cached blocks for the
+        # session lifetime (same guard PregelRunner.run has for edges)
+        if bands_cached is not None:
+            bands_cached.unpersist()
+
+
+def _near_dup_clusters_body(
+    d: DataFrame,
+    bands: DataFrame,
+    exact_edges: DataFrame,
+    reps: DataFrame,
+    sh: DataFrame,
+    shingle_n: int,
+    threshold: float,
+    max_supersteps: int,
+    max_bucket_size: int | None,
+    spark,
+) -> DataFrame:
+    from pregel_golang_implementation_spark.operators.connected_components import (
+        cc_spec,
+        symmetrize,
+    )
+    from pregel_golang_implementation_spark.plans.runner import PregelRunner
+
     if max_bucket_size is not None:
         # capped coverage must never be silent (module contract) — and on
         # a HEALTHY corpus it must also be free.  The occupancy report
@@ -453,14 +478,12 @@ def near_dup_clusters(
     dup_graph = symmetrize(exact_edges.unionByName(near_edges))
     vertices = d.select(F.col("doc_id").alias("id"))
     runner = PregelRunner(
-        docs.sparkSession, cc_spec(max_supersteps=max_supersteps), steps_per_action=2
+        spark, cc_spec(max_supersteps=max_supersteps), steps_per_action=2
     )
+    # runner.run is eager (the BSP barrier actions) and localCheckpoints
+    # the result state, so by the time the caller's finally unpersists the
+    # bands cache nothing the caller holds still references it
     res = runner.run(dup_graph, vertices=vertices)
-    if bands_cached is not None:
-        # the runner materialized the duplicate graph (edges cached +
-        # counted inside run()) and the result state is localCheckpointed —
-        # nothing the caller holds still references the bands cache
-        bands_cached.unpersist()
     return res.state.select(
         F.col("id").alias("doc_id"),
         F.col("value").cast("long").alias("cluster_id"),
@@ -512,23 +535,37 @@ def simhash_near_dups(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) — document pairs whose simhash Hamming
     distance is ≤ ``max_hamming``: the third dedup family (alongside
     MinHash-Jaccard and embedding-cosine), catching small in-place edits
     that barely move the per-bit majority vote.
 
-    EXACT at scale without the n² join: the simhash is split into
-    ``max_hamming + 1`` equal bit-bands; by pigeonhole, any pair within
-    ``max_hamming`` differing bits agrees on at least one whole band, so
-    the band-equality self-join (the same candidates-then-verify shape
-    as LSH) has **perfect recall** — the banding prunes work, never
-    answers.  Verification is one ``bit_count(a XOR b)`` per candidate
+    Banding (pigeonhole): the simhash splits into ``max_hamming + 1``
+    equal bit-bands; any pair within ``max_hamming`` differing bits
+    agrees on at least one whole band, so the band-equality self-join
+    (the same candidates-then-verify shape as LSH) has **perfect
+    recall**.  Verification is one ``bit_count(a XOR b)`` per candidate
     (JVM intrinsic).  ``bits`` must divide evenly into the bands.
 
-    Skew note: a band value shared by k docs yields k²/2 candidates —
-    dominated by near-identical corpora, which exact-collapse first
-    (``exact_representatives``) like every other dedup path here."""
+    HOW MUCH the banding prunes depends on band WIDTH ``w = bits /
+    (max_hamming + 1)``: a band key has only 2^w values, so expected
+    candidate volume is ~n²/2^w per band.  The default (bits=16,
+    max_hamming=3 → 4-bit bands, 64 keys) is sized for small
+    oracle-checkable corpora and degenerates toward n² on large ones —
+    results stay exact, but nothing is pruned.  **The scale path is a
+    wider signature**: bits=32, max_hamming=3 → 8-bit bands (or a
+    64-bit simhash with 16-bit bands) keeps per-band buckets at
+    n/2^w members.
+
+    Skew guard: a band value shared by k docs yields k²/2 candidates
+    from one reducer.  ``max_bucket_size`` mirrors the LSH cap —
+    buckets over it are EXCLUDED from pairing (recall for their pairs
+    falls back to the other bands), and the dropped set is never
+    silent: a WARNING reports bucket/doc-slot counts.  ``None``
+    (default) is exhaustive — exact and safe only when band width
+    matches the corpus size as above."""
     nbands = max_hamming + 1
     assert bits % nbands == 0, "bits must split evenly into max_hamming+1 bands"
     w = bits // nbands
@@ -546,6 +583,35 @@ def simhash_near_dups(
     banded = sig.select("doc_id", "simhash", F.explode(band_vals).alias("bv")).select(
         "doc_id", "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
     )
+    if max_bucket_size is not None:
+        # same contract as the LSH path: capped coverage is never silent.
+        # One eager occupancy probe; on a healthy corpus (no oversized
+        # bucket) the exhaustive plan is kept untouched.
+        import logging
+
+        # NOT persisted: this function returns a LAZY frame, so a persist
+        # here could never be released (the leak ADVICE r4 flagged on the
+        # LSH path); the probe re-runs the signature lineage once instead
+        occ = (
+            banded.groupBy("band", "val")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .filter(F.col("n_docs") > max_bucket_size)
+        )
+        row = occ.agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs"),
+        ).first()
+        if row["n_buckets"]:
+            logging.getLogger(__name__).warning(
+                "simhash_near_dups: %d band bucket(s) over max_bucket_size=%d "
+                "(%d doc slots) were skipped — pairs inside them are found "
+                "only if they share another band; widen `bits` (smaller "
+                "buckets) or raise/lift the cap",
+                row["n_buckets"], max_bucket_size, row["n_docs"],
+            )
+            banded = banded.join(
+                F.broadcast(occ.select("band", "val")), ["band", "val"], "left_anti"
+            )
     l = banded.select("band", "val", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("_ha"))
     r = banded.select("band", "val", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("_hb"))
     return (

@@ -41,13 +41,17 @@ STATE_SCHEMA_DOC = "state(id: long, value: double, active: boolean, *static)"
 MAX_STEPS_PER_ACTION = 6  # in-block plan doubles per chained step
 
 
-class _MsgGlobalsUnavailable(dict):
-    """Globals dict handed to msg_fn on chained steps 2..K of a block:
+class _MsgGlobalsUnavailable:
+    """Globals handed to msg_fn on chained steps 2..K of a block:
     mid-job there IS no driver-side scalar to hand out, and the in-plan
     broadcast globals only reach apply_fn.  Any access fails loudly
-    instead of silently scattering with stale values."""
+    instead of silently scattering with stale values.  Deliberately NOT
+    a dict subclass: ``{**g}`` on a real dict subclass reads the empty
+    C-level storage directly and never calls ``keys()`` — a plain class
+    routes every read path (subscript, get, in, iteration, unpacking,
+    len, truthiness) through a raising method."""
 
-    def _raise(self, key):
+    def _raise(self, key="<globals>"):
         raise RuntimeError(
             f"msg_fn reads global {key!r}, which is unavailable on chained "
             "supersteps (globals reach only apply_fn in-plan); run with "
@@ -59,6 +63,30 @@ class _MsgGlobalsUnavailable(dict):
 
     def get(self, key, default=None):  # noqa: D102
         self._raise(key)
+
+    # every other read path a msg_fn could take — iteration, membership,
+    # keys()/values()/items(), len(), truthiness, {**g} — must raise too,
+    # or it sees an EMPTY dict and silently scatters without globals
+    def __contains__(self, key):  # noqa: D105
+        self._raise(key)
+
+    def __iter__(self):  # noqa: D105
+        self._raise()
+
+    def keys(self):  # noqa: D102
+        self._raise()
+
+    def values(self):  # noqa: D102
+        self._raise()
+
+    def items(self):  # noqa: D102
+        self._raise()
+
+    def __len__(self):  # noqa: D105
+        self._raise()
+
+    def __bool__(self):  # noqa: D105
+        self._raise()
 
 
 @dataclass

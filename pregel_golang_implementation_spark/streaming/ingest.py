@@ -32,6 +32,37 @@ except ImportError:
     HAS_DELTA = False
 
 
+# Delta's optimistic-concurrency conflicts, by class name (delta.exceptions
+# mirrors io.delta.exceptions): these — and ONLY these — are the retryable
+# outcomes of racing a concurrent append.  Matched by name because the
+# classes only exist where delta-spark is installed.
+_DELTA_CONFLICT_CLASSES = frozenset(
+    {
+        "ConcurrentModificationException",
+        "ConcurrentAppendException",
+        "ConcurrentWriteException",
+        "ConcurrentDeleteReadException",
+        "ConcurrentDeleteDeleteException",
+        "ConcurrentTransactionException",
+        "MetadataChangedException",
+        "ProtocolChangedException",
+    }
+)
+
+
+def _is_delta_conflict(exc: BaseException) -> bool:
+    """True iff ``exc`` is a Delta optimistic-concurrency conflict —
+    deterministic failures (schema mismatch, permissions, missing table)
+    must surface immediately, not burn retries masquerading as races."""
+    for klass in type(exc).__mro__:
+        if klass.__name__ in _DELTA_CONFLICT_CLASSES:
+            return True
+    # captured JVM exceptions (Py4J / pyspark connect) keep the Java class
+    # in the message head, e.g. "io.delta.exceptions.ConcurrentAppendException: ..."
+    head = str(exc).split(":", 1)[0]
+    return head.rsplit(".", 1)[-1].strip() in _DELTA_CONFLICT_CLASSES
+
+
 def edge_stream_ingest(
     spark: SparkSession,
     input_dir: str,
@@ -128,9 +159,13 @@ def compact_edge_table(
                 )
                 compacted.write.format("delta").mode("overwrite").save(table_dir)
                 return spark.read.format("delta").load(table_dir).count()
-            except Exception:
-                # optimistic-concurrency conflict with a concurrent append:
-                # retry against the new snapshot; re-raise once exhausted
+            except Exception as exc:
+                # retry ONLY optimistic-concurrency conflicts with a
+                # concurrent append (against the fresh snapshot); any
+                # deterministic failure — schema mismatch, permissions,
+                # missing table — surfaces immediately
+                if not _is_delta_conflict(exc):
+                    raise
                 if attempt == 2:
                     raise
         raise AssertionError("unreachable")
