@@ -22,7 +22,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pregel_golang_implementation_spark.plans.runner import PregelResult, PregelRunner
-from pregel_golang_implementation_spark.plans.spec import AlgorithmSpec, combine_sum, recombine_sum
+from pregel_golang_implementation_spark.plans.spec import (
+    AlgorithmSpec,
+    combine_sum,
+    combine_sum_slim,
+    recombine_sum,
+)
 
 
 def pagerank_spec(num_vertices: int, damping: float = 0.85, tol: float = 1e-6) -> AlgorithmSpec:
@@ -56,6 +61,7 @@ def pagerank_spec(num_vertices: int, damping: float = 0.85, tol: float = 1e-6) -
         init_fn=init_fn,
         msg_fn=msg_fn,
         combine=combine_sum,
+        combine_slim=combine_sum_slim,
         recombine=recombine_sum,
         apply_fn=apply_fn,
         active_fn=active_fn,
@@ -104,6 +110,7 @@ def personalized_pagerank_spec(damping: float = 0.85, tol: float = 1e-6) -> Algo
         init_fn=init_fn,
         msg_fn=msg_fn,
         combine=combine_sum,
+        combine_slim=combine_sum_slim,
         recombine=recombine_sum,
         apply_fn=apply_fn,
         active_fn=active_fn,

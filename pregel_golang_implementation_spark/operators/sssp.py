@@ -22,7 +22,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pregel_golang_implementation_spark.plans.runner import PregelResult, PregelRunner
-from pregel_golang_implementation_spark.plans.spec import AlgorithmSpec, combine_min, recombine_min
+from pregel_golang_implementation_spark.plans.spec import (
+    AlgorithmSpec,
+    combine_min,
+    combine_min_slim,
+    recombine_min,
+)
 
 INF = float("inf")
 
@@ -51,6 +56,7 @@ def sssp_spec(source: int, max_supersteps: int = 200) -> AlgorithmSpec:
         init_fn=init_fn,
         msg_fn=msg_fn,
         combine=combine_min,
+        combine_slim=combine_min_slim,
         recombine=recombine_min,
         apply_fn=apply_fn,
         active_fn=active_fn,

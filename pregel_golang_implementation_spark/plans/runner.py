@@ -32,6 +32,7 @@ import os
 import time
 from dataclasses import dataclass, field
 
+from py4j.protocol import Py4JJavaError
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
@@ -207,6 +208,23 @@ class PregelRunner:
             )
             steps_per_action = MAX_STEPS_PER_ACTION
         self.steps_per_action = max(1, steps_per_action)
+        # SLIM combine exchange (scale lever): when the spec provides a
+        # count-free combiner, the messages-sent counter (O21) rides a
+        # CollectMetrics Observation on the PRE-shuffle message frame and
+        # the msg_count partial is dropped from the exchange row —
+        # (id, msg, count) → (id, msg), 8 fewer bytes/row through the only
+        # per-superstep shuffle, with metrics still exact.  Eligible only
+        # unsalted (recombine merges count partials) and unchained: a
+        # CollectMetrics inside a chained step's lazy localCheckpoint
+        # belongs to an inner query execution and reports ZEROS (measured,
+        # r4) — so chained blocks keep the in-combine count.
+        # PREGEL_SLIM_SHUFFLE=0 forces the classic path for A/Bs.
+        self.slim_shuffle = (
+            os.environ.get("PREGEL_SLIM_SHUFFLE", "1") != "0"
+            and spec.combine_slim is not None
+            and not self._salting
+            and self.steps_per_action == 1
+        )
 
     # ----------------------------------------------------------------- setup
 
@@ -277,12 +295,15 @@ class PregelRunner:
         g: dict,
         prev_active: int,
         inplan_globals: bool = False,
+        msg_obs: Observation | None = None,
     ) -> DataFrame:
         """One superstep's frame.  ``inplan_globals=True`` (chained steps
         2..K of a block) computes ``spec.global_aggs`` as a broadcast
         1-row aggregate of the INCOMING ``state`` frame instead of driver
         literals — the state entering this step is mid-job, so its
-        aggregates cannot be driver scalars without breaking the chain."""
+        aggregates cannot be driver scalars without breaking the chain.
+        ``msg_obs`` (slim-shuffle mode) counts messages on the pre-shuffle
+        frame so the combine can drop its msg_count partial."""
         spec = self.spec
         frontier = state.filter("active") if spec.use_frontier else state
         small_frontier = (
@@ -313,6 +334,11 @@ class PregelRunner:
                 spec.msg_fn(F.col("f.value"), F.col("e.weight"), msg_g).alias("msg"),
             )
         )
+        if msg_obs is not None:
+            # messages-sent observed HERE, map-side, before the partial agg
+            # collapses rows — exactly what the combine's count would have
+            # totalled, without shipping a count per combined row
+            msgs = msgs.observe(msg_obs, F.count(F.lit(1)).alias("_msgs_sent"))
         # combine: sender-side partial agg + final agg — the exchange shuffle
         if self._salting:
             from pregel_golang_implementation_spark.sources.graphs import unsalt_ids
@@ -332,8 +358,11 @@ class PregelRunner:
                 combined = combined.filter(F.col("id") >= 0).unionByName(
                     spec.recombine(hub_partials)
                 )
+        elif msg_obs is not None:
+            combined = spec.combine_slim(msgs)
         else:
             combined = spec.combine(msgs)
+        has_count = "msg_count" in combined.columns
 
         # apply: fold inbox into state (replaces Vertex.go:68-88); both
         # sides partitioned by id → shuffle-hash, no sort
@@ -374,12 +403,15 @@ class PregelRunner:
             # per-superstep scalars as literals (default)
             gcols = {k: F.lit(float(g[k] or 0.0)) for k in spec.global_aggs}
         new_value = spec.apply_fn(F.col("value"), F.col("msg"), gcols)
+        nmsg = (
+            F.coalesce(F.col("msg_count"), F.lit(0)) if has_count else F.lit(0)
+        )
         out = joined.select(
             F.col("id"),
             *[F.col(c) for c in spec.static_cols],
             F.col("value").alias("_prev"),
             new_value.cast("double").alias("value"),
-            F.coalesce(F.col("msg_count"), F.lit(0)).cast("long").alias("_nmsg"),
+            nmsg.cast("long").alias("_nmsg"),
             F.col("msg").alias("_msg"),
         )
         out = out.withColumn(
@@ -467,9 +499,16 @@ class PregelRunner:
             )
             t0 = time.monotonic()
             observations: list[Observation] = []
+            msg_observations: list[Observation | None] = []
             cur = state
             for j in range(k_steps):
                 obs = Observation(f"superstep_{step + j + 1}")
+                mobs = (
+                    Observation(f"msgs_{step + j + 1}")
+                    if self.slim_shuffle
+                    else None
+                )
+                msg_observations.append(mobs)
                 # step 1 of the block: exact globals off the previous
                 # block's Observation as driver literals (fast path);
                 # steps 2..K: globals in-plan from the incoming frame
@@ -479,6 +518,7 @@ class PregelRunner:
                     g,
                     prev_active if j == 0 else -1,
                     inplan_globals=(j > 0),
+                    msg_obs=mobs,
                 )
                 if j < k_steps - 1:
                     # LAZY localCheckpoint: pins the intermediate step to
@@ -527,10 +567,30 @@ class PregelRunner:
                 prev_cached = None
 
             for j, row in enumerate(rows):
+                if msg_observations[j] is not None:
+                    # slim mode: the exact count off the pre-shuffle
+                    # Observation (the combine shipped no counts)
+                    try:
+                        msgs_sent = int(
+                            msg_observations[j].get["_msgs_sent"] or 0
+                        )
+                    except Py4JJavaError:
+                        # AQE empty-relation propagation: when the message
+                        # frame is provably empty (e.g. the final frontier
+                        # has no out-edges), the apply join's right subtree
+                        # is folded away in the FINAL plan and its
+                        # CollectMetrics never reaches observedMetrics —
+                        # getRow then hands back a schema-less row that
+                        # toPyRow rejects.  Pruning fires only for empty
+                        # subtrees, and combined is empty iff msgs is
+                        # empty, so the true count is exactly 0.
+                        msgs_sent = 0
+                else:
+                    msgs_sent = int(row["_msgs"] or 0)
                 m = SuperstepMetrics(
                     superstep=step - k_steps + j + 1,
                     active_vertices=int(row["_active"] or 0),
-                    messages_sent=int(row["_msgs"] or 0),
+                    messages_sent=msgs_sent,
                     max_delta=float(row["_maxdelta"] or 0.0),
                     num_vertices=int(row["_n"]),
                     wall_secs=block_wall / k_steps,

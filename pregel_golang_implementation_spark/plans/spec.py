@@ -51,6 +51,25 @@ def combine_min(msgs: DataFrame) -> DataFrame:
     )
 
 
+# Slim combiners: same aggregate WITHOUT the msg_count column.  The count
+# exists only to feed the messages-sent counter (O21); when the runner can
+# take that count from an Observation on the pre-shuffle message frame
+# instead (steps_per_action=1 — see PregelRunner), dropping the count
+# partial cuts the exchange row from (id, msg, count) to (id, msg): 8
+# fewer bytes/row through the ONLY per-superstep shuffle.
+
+def combine_min_slim(msgs: DataFrame) -> DataFrame:
+    return msgs.groupBy("id").agg(F.min("msg").alias("msg"))
+
+
+def combine_max_slim(msgs: DataFrame) -> DataFrame:
+    return msgs.groupBy("id").agg(F.max("msg").alias("msg"))
+
+
+def combine_sum_slim(msgs: DataFrame) -> DataFrame:
+    return msgs.groupBy("id").agg(F.sum("msg").alias("msg"))
+
+
 def combine_max(msgs: DataFrame) -> DataFrame:
     return msgs.groupBy("id").agg(
         F.max("msg").alias("msg"), F.count(F.lit(1)).alias("msg_count")
@@ -153,6 +172,12 @@ class AlgorithmSpec:
     # combiner is not algebraic (e.g. mode); hub salting then requires
     # `salted_combine` instead.
     recombine: Optional[CombineFn] = None
+    # Count-free variant of `combine` returning (id, msg) only — lets the
+    # runner drop the msg_count partial from the exchange when the
+    # messages-sent counter can ride a pre-shuffle Observation instead
+    # (steps_per_action=1, unsalted).  Must aggregate identically to
+    # `combine` minus the count.  None ⇒ always ship the count.
+    combine_slim: Optional[CombineFn] = None
     # Full replacement of the combine stage under salting, for combiners
     # whose winners can't be merged (mode): (msgs-with-salted-ids,
     # unsalt_fn) -> combined (id, msg, msg_count) on REAL ids, carrying

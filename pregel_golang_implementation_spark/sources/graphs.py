@@ -35,13 +35,21 @@ def synthetic_edges(
     hub_fraction: float = 0.0,
     hub_degree: int = 0,
     num_partitions: int | None = None,
+    dst_skew: float = 0.0,
 ) -> DataFrame:
     """Deterministic seeded random digraph, generated DISTRIBUTED (each
     partition seeds its own RNG from (seed, partition) — no driver-side
     materialization, scales to any size).  The reference generator is
     unseeded and driver-bound (Test/generate.py:1-20) — fixed here per
-    FIXTURES.md.  ``hub_fraction``/``hub_degree`` add high-out-degree hub
+    FIXTURES.md.  ``hub_fraction``/``hub_degree`` add high-OUT-degree hub
     vertices to exercise skew handling (SURVEY.md §4 P7).
+
+    ``dst_skew`` (a ≥ 1) draws DESTINATIONS Zipf-like instead of
+    uniformly: dst = floor(n · U^a) for uniform U, giving a power-law
+    in-degree distribution (density ∝ d^-(1 + a/(a-1)); a=4 → exponent
+    ≈2.33, the web-graph range) with vertex 0 the heaviest hub — it receives
+    a n^(-1/a) fraction of ALL edges (a=4, n=2M → 2.7%), the inbox-skew
+    regime hub salting (``salt_hubs``) exists for.  0 disables (uniform).
     """
     n_parts = num_partitions or max(8, int(spark.conf.get("spark.sql.shuffle.partitions")))
     hubs = int(num_vertices * hub_fraction)
@@ -60,7 +68,13 @@ def synthetic_edges(
                         1, int(rng.expovariate(1.0 / avg_degree))
                     )
                     for _ in range(deg):
-                        u = rng.randrange(num_vertices)
+                        if dst_skew > 0:
+                            u = min(
+                                int(num_vertices * (rng.random() ** dst_skew)),
+                                num_vertices - 1,
+                            )
+                        else:
+                            u = rng.randrange(num_vertices)
                         if u == v:
                             continue
                         srcs.append(v)

@@ -21,6 +21,19 @@ Usage:
         efficiencies, protocol number = best-per-level (r1/r2-comparable);
         writes BENCH/scaling_latest.{json,md}
         (BENCH/BASELINE.md and scaling_r{N}.json are curated by hand)
+  python tools/bench_scaling.py skew [N] [vertices] [degree] [steps] [zipf_a] [salt_thr]
+      → Zipf in-degree graph (dst_skew=zipf_a), salted-vs-unsalted PageRank
+        at local[N] and local[4N]; writes BENCH/scaling_skew_latest.json
+  python tools/bench_scaling.py ab [cores] [vertices] [degree] [steps] [repeats]
+      → shuffle-bytes lever A/B (slim row on/off × lz4/zstd) at ONE level;
+        writes BENCH/scaling_ab_latest.json
+
+Co-tenancy guard: the orchestrators REFUSE to start when the 1-min
+loadavg exceeds LOADAVG_MAX (anything co-running skews both levels and
+the r3/r4 rounds each lost a window to it) — override with
+PREGEL_SCALING_FORCE=1 — and every spawned run is stamped with the
+loadavg observed immediately before it, so the artifact itself shows
+whether a window was clean.
 """
 
 from __future__ import annotations
@@ -37,14 +50,36 @@ sys.path.insert(0, REPO)
 
 GRAPH_DIR = "/tmp/pregel_scaling_graph"
 NUM_PARTITIONS = 128
+LOADAVG_MAX = 2.0
 
 
-def prepare_graph(num_vertices: int, avg_degree: int) -> None:
+def _loadavg() -> float:
+    return round(os.getloadavg()[0], 2)
+
+
+def _refuse_if_busy(context: str) -> None:
+    la = _loadavg()
+    if la > LOADAVG_MAX and not os.environ.get("PREGEL_SCALING_FORCE"):
+        raise SystemExit(
+            f"{context}: 1-min loadavg {la} > {LOADAVG_MAX} — something is "
+            "co-running and would skew both levels (r3/r4 lesson). Wait for "
+            "an idle box or set PREGEL_SCALING_FORCE=1 to override."
+        )
+
+
+def prepare_graph(
+    num_vertices: int,
+    avg_degree: int,
+    dst_skew: float = 0.0,
+    graph_dir: str = GRAPH_DIR,
+) -> None:
     """One-time: generate the seeded graph, pre-derive the PageRank form
     (weight = 1/outdeg), write parquet.  Workers at every parallelism
     level then READ the same bytes — identical input guaranteed and
     per-worker setup drops from minutes to seconds."""
     import shutil
+
+    from pyspark.sql import functions as F
 
     from pregel_golang_implementation_spark.operators.pagerank import (
         prepare_pagerank_graph,
@@ -52,18 +87,42 @@ def prepare_graph(num_vertices: int, avg_degree: int) -> None:
     from pregel_golang_implementation_spark.session import get_spark
     from pregel_golang_implementation_spark.sources.graphs import synthetic_edges
 
-    marker = os.path.join(GRAPH_DIR, f"v{num_vertices}_d{avg_degree}.ok")
+    marker = os.path.join(
+        graph_dir,
+        f"v{num_vertices}_d{avg_degree}.ok"
+        if dst_skew == 0.0
+        else f"v{num_vertices}_d{avg_degree}_z{dst_skew}.ok",
+    )
     if os.path.exists(marker):
         return
-    shutil.rmtree(GRAPH_DIR, ignore_errors=True)
+    shutil.rmtree(graph_dir, ignore_errors=True)
     spark = get_spark(app_name="scaling-gen", cores=32, shuffle_partitions=NUM_PARTITIONS)
     edges = synthetic_edges(
         spark, num_vertices=num_vertices, avg_degree=avg_degree, seed=42,
-        num_partitions=64,
+        num_partitions=64, dst_skew=dst_skew,
     )
     pr_edges, vertices = prepare_pagerank_graph(edges)
-    pr_edges.write.mode("overwrite").parquet(os.path.join(GRAPH_DIR, "pr_edges"))
-    vertices.write.mode("overwrite").parquet(os.path.join(GRAPH_DIR, "vertices"))
+    pr_edges.write.mode("overwrite").parquet(os.path.join(graph_dir, "pr_edges"))
+    vertices.write.mode("overwrite").parquet(os.path.join(graph_dir, "vertices"))
+    # in-degree stats next to the marker so the skew artifact is
+    # self-describing (how skewed WAS the input?)
+    e = spark.read.parquet(os.path.join(graph_dir, "pr_edges"))
+    ind = e.groupBy("dst").agg(F.count(F.lit(1)).alias("indeg"))
+    stats = ind.agg(
+        F.max("indeg").alias("max"),
+        F.expr("percentile_approx(indeg, 0.999)").alias("p999"),
+        F.avg("indeg").alias("mean"),
+    ).first()
+    with open(os.path.join(graph_dir, "indeg_stats.json"), "w") as f:
+        json.dump(
+            {
+                "max_indeg": int(stats["max"]),
+                "p999_indeg": int(stats["p999"]),
+                "mean_indeg": round(float(stats["mean"]), 2),
+                "dst_skew": dst_skew,
+            },
+            f,
+        )
     open(marker, "w").write("ok")
     spark.stop()
 
@@ -82,8 +141,9 @@ def run_worker(cores: int, num_vertices: int, avg_degree: int, supersteps: int) 
         extra_conf=extra,
         tmpfs_local_dir=True,  # bounded shuffle volume; headroom-checked
     )
-    pr_edges = spark.read.parquet(os.path.join(GRAPH_DIR, "pr_edges"))
-    vertices = spark.read.parquet(os.path.join(GRAPH_DIR, "vertices"))
+    graph_dir = os.environ.get("PREGEL_SCALING_GRAPH_DIR", GRAPH_DIR)
+    pr_edges = spark.read.parquet(os.path.join(graph_dir, "pr_edges"))
+    vertices = spark.read.parquet(os.path.join(graph_dir, "vertices"))
     n_edges = pr_edges.count()
     n = vertices.count()
     spec = pagerank_spec(n, tol=0.0)  # tol=0 → never converges early
@@ -107,8 +167,16 @@ def run_worker(cores: int, num_vertices: int, avg_degree: int, supersteps: int) 
     # clusters where scheduling dominates) — not here.
     # PREGEL_SCALING_SPA overrides for A/B (recorded in the JSON).
     spa = int(os.environ.get("PREGEL_SCALING_SPA", "1"))
+    # hub-salting A/B knob for the skew benchmark: in-degree threshold
+    # above which a vertex's inbox splits across salt replicas (0 = off)
+    salt_thr = int(os.environ.get("PREGEL_SCALING_SALT", "0"))
     runner = PregelRunner(
-        spark, spec, num_partitions=NUM_PARTITIONS, steps_per_action=spa
+        spark,
+        spec,
+        num_partitions=NUM_PARTITIONS,
+        steps_per_action=spa,
+        salt_degree_threshold=salt_thr or None,
+        num_salts=int(os.environ.get("PREGEL_SCALING_NUM_SALTS", "16")),
     )
     t0 = time.monotonic()
     res = runner.run(pr_edges, vertices=vertices, max_supersteps=supersteps)
@@ -129,6 +197,9 @@ def run_worker(cores: int, num_vertices: int, avg_degree: int, supersteps: int) 
                 "total_wall_secs": round(total_wall, 3),
                 "edges_per_sec": round(n_edges / med, 1),
                 "supersteps_per_min": round(60.0 / med, 2),
+                "salt_degree_threshold": salt_thr,
+                "slim_shuffle": runner.slim_shuffle,
+                "extra_conf": extra,
             }
         )
     )
@@ -177,19 +248,23 @@ def vanilla_worker(cores: int, rows: int = 100_000_000, rounds: int = 5) -> None
     spark.stop()
 
 
-def _spawn(args: list[str], label: str) -> dict:
+def _spawn(args: list[str], label: str, env: dict | None = None) -> dict:
+    la = _loadavg()  # observed IMMEDIATELY before the run — clean-window proof
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), *args],
         capture_output=True,
         text=True,
         timeout=3600,
         cwd=REPO,
+        env={**os.environ, **(env or {})},
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("{")]
     if not line:
         sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:] + "\n")
         raise SystemExit(f"{label} produced no result")
-    return json.loads(line[-1])
+    r = json.loads(line[-1])
+    r["loadavg_1min_before"] = la
+    return r
 
 
 def _run_worker(cores: int, num_vertices: int, avg_degree: int, supersteps: int) -> dict:
@@ -212,6 +287,7 @@ def orchestrate(
     # efficiency is the same-day platform ceiling the gate compares against.
     import statistics
 
+    _refuse_if_busy("orchestrate")
     results: dict[int, list[dict]] = {n_cores: [], 4 * n_cores: []}
     vanilla: dict[int, list[dict]] = {n_cores: [], 4 * n_cores: []}
     for _ in range(repeats):
@@ -304,8 +380,170 @@ Reproduce: `python tools/bench_scaling.py {n_cores} {num_vertices} {avg_degree} 
     print(md)
 
 
+def skew_orchestrate(
+    n_cores: int,
+    num_vertices: int,
+    avg_degree: int,
+    supersteps: int,
+    zipf_a: float,
+    salt_thr: int,
+    repeats: int = 2,
+) -> None:
+    """Salted-vs-unsalted PageRank on a Zipf in-degree graph at local[N]
+    and local[4N] (r4 verdict #4): the gate graph is degree-uniform, so
+    this is where the salting lever is actually exercised at bench scale.
+    Configs interleave within each repeat so drift hits all four equally."""
+    import statistics
+
+    _refuse_if_busy("skew_orchestrate")
+    graph_dir = GRAPH_DIR + f"_zipf{zipf_a}"
+    prepare_graph(num_vertices, avg_degree, dst_skew=zipf_a, graph_dir=graph_dir)
+    with open(os.path.join(graph_dir, "indeg_stats.json")) as f:
+        indeg = json.load(f)
+    print(f"skew graph in-degree stats: {indeg}")
+
+    runs: dict[tuple[int, int], list[dict]] = {}
+    for _ in range(repeats):
+        for cores in (n_cores, 4 * n_cores):
+            for thr in (0, salt_thr):
+                r = _spawn(
+                    ["worker", str(cores), str(num_vertices), str(avg_degree), str(supersteps)],
+                    f"worker {cores} salt={thr}",
+                    env={
+                        "PREGEL_SCALING_GRAPH_DIR": graph_dir,
+                        "PREGEL_SCALING_SALT": str(thr),
+                        # isolate the salting variable: the salted path
+                        # cannot use the slim combine (recombine merges
+                        # count partials), so pin slim OFF for both sides
+                        "PREGEL_SLIM_SHUFFLE": "0",
+                    },
+                )
+                runs.setdefault((cores, thr), []).append(r)
+                print(f"local[{cores}] salt_thr={thr}: {r}")
+
+    def best(cores: int, thr: int) -> dict:
+        return max(runs[(cores, thr)], key=lambda r: r["edges_per_sec"])
+
+    report = {
+        "job": "pagerank_fixed_supersteps_zipf",
+        "input": {
+            "n_vertices": num_vertices,
+            "avg_degree": avg_degree,
+            "dst_skew": zipf_a,
+            "supersteps": supersteps,
+            "indeg_stats": indeg,
+            "salt_degree_threshold": salt_thr,
+            "num_salts": int(os.environ.get("PREGEL_SCALING_NUM_SALTS", "16")),
+        },
+        "runs": {f"{c}_salt{t}": v for (c, t), v in runs.items()},
+        "best": {
+            f"{c}_salt{t}": best(c, t)["edges_per_sec"]
+            for (c, t) in runs
+        },
+        "efficiency": {
+            f"salt{t}": round(
+                best(4 * n_cores, t)["edges_per_sec"]
+                / (4 * best(n_cores, t)["edges_per_sec"]),
+                3,
+            )
+            for t in (0, salt_thr)
+        },
+        "median_efficiency": {
+            f"salt{t}": round(
+                statistics.median(
+                    hi["edges_per_sec"] / (4 * lo["edges_per_sec"])
+                    for lo, hi in zip(runs[(n_cores, t)], runs[(4 * n_cores, t)])
+                ),
+                3,
+            )
+            for t in (0, salt_thr)
+        },
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling_skew_latest.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps({k: report[k] for k in ("best", "efficiency", "median_efficiency")}, indent=2))
+
+
+def ab_orchestrate(
+    cores: int,
+    num_vertices: int,
+    avg_degree: int,
+    supersteps: int,
+    repeats: int = 2,
+) -> None:
+    """One clean interleaved A/B of the two shuffle-BYTES levers (r4
+    verdict #1) at a single parallelism level: slim combine row on/off ×
+    shuffle codec lz4/zstd.  Interleaved within each repeat so box drift
+    hits all four configs equally; per-run loadavg stamped by _spawn.
+    Writes BENCH/scaling_ab_latest.json; the winning config is then used
+    for the gate orchestration."""
+    import statistics
+
+    _refuse_if_busy("ab_orchestrate")
+    prepare_graph(num_vertices, avg_degree)
+    configs = {
+        "classic_lz4": {"PREGEL_SLIM_SHUFFLE": "0"},
+        "slim_lz4": {"PREGEL_SLIM_SHUFFLE": "1"},
+        "classic_zstd": {
+            "PREGEL_SLIM_SHUFFLE": "0",
+            "PREGEL_BENCH_CONF": '{"spark.io.compression.codec":"zstd"}',
+        },
+        "slim_zstd": {
+            "PREGEL_SLIM_SHUFFLE": "1",
+            "PREGEL_BENCH_CONF": '{"spark.io.compression.codec":"zstd"}',
+        },
+    }
+    runs: dict[str, list[dict]] = {k: [] for k in configs}
+    for _ in range(repeats):
+        for name, env in configs.items():
+            r = _spawn(
+                ["worker", str(cores), str(num_vertices), str(avg_degree), str(supersteps)],
+                f"ab {name}",
+                env=env,
+            )
+            runs[name].append(r)
+            print(f"{name}: {r}")
+    report = {
+        "job": "pagerank_fixed_supersteps_config_ab",
+        "input": {
+            "cores": cores,
+            "n_vertices": num_vertices,
+            "avg_degree": avg_degree,
+            "supersteps": supersteps,
+        },
+        "runs": runs,
+        "median_edges_per_sec": {
+            k: round(statistics.median(r["edges_per_sec"] for r in v), 1)
+            for k, v in runs.items()
+        },
+        "best_edges_per_sec": {
+            k: max(r["edges_per_sec"] for r in v) for k, v in runs.items()
+        },
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling_ab_latest.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps({k: report[k] for k in ("median_edges_per_sec", "best_edges_per_sec")}, indent=2))
+
+
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "worker":
+    if len(sys.argv) > 1 and sys.argv[1] == "ab":
+        c = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+        v = int(sys.argv[3]) if len(sys.argv) > 3 else 8_000_000
+        d = int(sys.argv[4]) if len(sys.argv) > 4 else 20
+        s = int(sys.argv[5]) if len(sys.argv) > 5 else 8
+        reps = int(sys.argv[6]) if len(sys.argv) > 6 else 2
+        ab_orchestrate(c, v, d, s, repeats=reps)
+    elif len(sys.argv) > 1 and sys.argv[1] == "skew":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+        v = int(sys.argv[3]) if len(sys.argv) > 3 else 2_000_000
+        d = int(sys.argv[4]) if len(sys.argv) > 4 else 16
+        s = int(sys.argv[5]) if len(sys.argv) > 5 else 6
+        a = float(sys.argv[6]) if len(sys.argv) > 6 else 4.0
+        thr = int(sys.argv[7]) if len(sys.argv) > 7 else 10_000
+        skew_orchestrate(n, v, d, s, a, thr)
+    elif len(sys.argv) > 1 and sys.argv[1] == "worker":
         run_worker(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]), int(sys.argv[5]))
     elif len(sys.argv) > 1 and sys.argv[1] == "vanilla":
         vanilla_worker(int(sys.argv[2]))

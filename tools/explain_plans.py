@@ -83,6 +83,27 @@ def main() -> None:
     sections.append(
         ("chained globals-bearing supersteps (in-plan dangling mass)", chained_globals_plan)
     )
+
+    # 2d. SLIM superstep (r5): the messages-sent counter rides a
+    # CollectMetrics Observation on the PRE-shuffle message frame, so the
+    # combine drops its msg_count partial — the only per-superstep
+    # exchange ships (id, msg) instead of (id, msg, count): 8 fewer
+    # bytes/row through the shuffle, metrics still exact.
+    from pyspark.sql import Observation
+
+    slim_step = runner._one_superstep(
+        state, e, {"dangling_mass": 0.0}, -1, msg_obs=Observation("slim_msgs")
+    )
+    slim_plan = grab(slim_step)
+    assert "CollectMetrics" in slim_plan, (
+        "slim superstep must count messages via a pre-shuffle CollectMetrics"
+    )
+    assert "msg_count" not in slim_plan, (
+        "slim superstep must not ship a msg_count partial through the exchange"
+    )
+    sections.append(
+        ("slim superstep (pre-shuffle CollectMetrics, count-free exchange row)", slim_plan)
+    )
     e.unpersist()
 
     # 3. scale-safe vertex-id assignment: the window is partitioned by
