@@ -48,11 +48,13 @@ from pregel_golang_implementation_spark.operators.pagerank import (
     pagerank_spec,
     prepare_pagerank_graph,
 )
+from pregel_golang_implementation_spark.operators.kcore import kcore_peel
 from pregel_golang_implementation_spark.operators.similarity import (
     ann_candidates,
     ann_topk,
     cosine_topk,
     embedding_near_dups,
+    ivf_topk,
     knn_graph,
     srp_buckets,
 )
@@ -81,6 +83,10 @@ KNN_QUERY_IDS = [0, 1, 2, 3, 4]
 KNN_K = 5
 RESOLVE_ITERS = 6
 RESOLVE_THRESHOLD = 0.5
+KCORE_K = 5
+KCORE_ROUNDS = 3
+IVF_CENTROIDS = 8
+IVF_NPROBE = 2
 
 
 # --------------------------------------------------------------- helpers
@@ -571,6 +577,32 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling over the undirected order↔part graph: vertices
+    still alive after KCORE_ROUNDS rounds of remove-degree-<-k, with the
+    induced degree that justified survival (operators/kcore.py — the
+    relational form of the classic Pregel peel, Vertex.go:68-88 shape)."""
+    und = symmetrize(edges_from_lineitem(spark, sf_dir))
+    return kcore_peel(und, k=KCORE_K, rounds=KCORE_ROUNDS)
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: deterministic md5-sampled centroid codebook,
+    shuffle-free cell assignment (driver-inlined codebook literals, the
+    SRP-hyperplane trick), nprobe-cell candidates, exact cosine re-rank."""
+    out = ivf_topk(
+        _emb(spark, sf_dir),
+        KNN_QUERY_IDS,
+        k=KNN_K,
+        num_centroids=IVF_CENTROIDS,
+        nprobe=IVF_NPROBE,
+        round_to=5,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
 # --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -605,6 +637,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_after_2": q_frontier,
         "triangle_count": q_triangles,
         "triangles_per_vertex": q_triangles_per_vertex,
+        "kcore_peel_3": q_kcore,
+        "ivf_topk": q_ivf_topk,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash,
         "lsh_candidate_pairs": q_lsh_pairs,
@@ -1009,6 +1043,7 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri) "
             "GROUP BY 1"
         ),
+        "kcore_peel_3": _kcore_sql(KCORE_K, KCORE_ROUNDS),
         "dedup_exact": (
             "SELECT md5(text) AS content_hash, COUNT(*) AS n_docs, "
             "MIN(doc_id) AS canonical_id FROM documents GROUP BY 1"
@@ -1068,6 +1103,7 @@ def oracle_sql() -> dict[str, str]:
             "JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id"
         ),
         "ann_topk": _ann_topk_sql(),
+        "ivf_topk": _ivf_topk_sql(),
         "knn_graph": _knn_graph_sql(),
         "embedding_near_dups": _embedding_near_dups_sql(threshold=0.2),
         "decontaminate": (
@@ -1280,6 +1316,66 @@ def _knn_graph_sql(bits: int = ANN_BITS, k: int = KNN_GRAPH_K) -> str:
         "(PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank FROM scored) "
         f"SELECT qid AS vec_id, nid AS neighbor_id, sim, rank::BIGINT AS rank "
         f"FROM ranked WHERE rank <= {k}"
+    )
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    """Twin of q_kcore: the peel recurrence unrolled — round r keeps
+    vertices whose degree in the subgraph induced by round r-1's
+    survivors is ≥ k (same HAVING filter the engine's
+    ``kcore_peel`` applies per round)."""
+    parts = [
+        _E,
+        _U,
+        f"a1 AS (SELECT src AS id, COUNT(*) AS degree FROM u "
+        f"GROUP BY 1 HAVING COUNT(*) >= {k})",
+    ]
+    for r in range(2, rounds + 1):
+        p = f"a{r - 1}"
+        parts.append(
+            f"a{r} AS (SELECT u.src AS id, COUNT(*) AS degree FROM u "
+            f"JOIN {p} s ON u.src = s.id JOIN {p} d ON u.dst = d.id "
+            f"GROUP BY 1 HAVING COUNT(*) >= {k})"
+        )
+    return _materialize(
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT id, degree::BIGINT AS degree FROM a{rounds}"
+    )
+
+
+def _ivf_topk_sql(c: int = IVF_CENTROIDS, nprobe: int = IVF_NPROBE) -> str:
+    """Twin of q_ivf_topk: centroids = the c vectors with smallest
+    md5(vec_id) (ties by id); cell = argmax of 6dp-rounded cosine with
+    NULL→-2.0 sentinel, ties to the smallest centroid id; queries probe
+    their nprobe nearest cells; exact 5dp cosine re-rank within."""
+    ids = ", ".join(str(i) for i in KNN_QUERY_IDS)
+    dotc = "list_aggregate([ev[i]::DOUBLE * cv[i]::DOUBLE for i in generate_series(1, len(ev))], 'sum')"
+    ne_ = "sqrt(list_aggregate([ev[i]::DOUBLE * ev[i]::DOUBLE for i in generate_series(1, len(ev))], 'sum'))"
+    nc_ = "sqrt(list_aggregate([cv[i]::DOUBLE * cv[i]::DOUBLE for i in generate_series(1, len(cv))], 'sum'))"
+    dot = "list_aggregate([qv[i]::DOUBLE * nv[i]::DOUBLE for i in generate_series(1, len(qv))], 'sum')"
+    nq = "sqrt(list_aggregate([qv[i]::DOUBLE * qv[i]::DOUBLE for i in generate_series(1, len(qv))], 'sum'))"
+    nn = "sqrt(list_aggregate([nv[i]::DOUBLE * nv[i]::DOUBLE for i in generate_series(1, len(nv))], 'sum'))"
+    return (
+        "WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cv "
+        f"FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {c}), "
+        "asgn AS (SELECT e.vec_id, cent.centroid_id, "
+        f"COALESCE(ROUND({dotc} / ({ne_} * {nc_}), 6), -2.0) AS csim "
+        "FROM (SELECT vec_id, embedding AS ev FROM embeddings) e CROSS JOIN cent), "
+        "cellr AS (SELECT vec_id, centroid_id, ROW_NUMBER() OVER "
+        "(PARTITION BY vec_id ORDER BY csim DESC, centroid_id ASC) AS rn FROM asgn), "
+        "cells AS (SELECT vec_id, centroid_id AS cell FROM cellr WHERE rn = 1), "
+        f"probes AS (SELECT vec_id AS query_id, centroid_id AS cell FROM cellr "
+        f"WHERE rn <= {nprobe} AND vec_id IN ({ids})), "
+        "scored AS (SELECT p.query_id, s.vec_id AS neighbor_id, "
+        f"CAST(ROUND({dot} / ({nq} * {nn}), 5) AS DOUBLE) AS sim "
+        "FROM probes p JOIN cells s ON s.cell = p.cell "
+        "JOIN (SELECT vec_id, embedding AS qv FROM embeddings) qe ON qe.vec_id = p.query_id "
+        "JOIN (SELECT vec_id, embedding AS nv FROM embeddings) nb ON nb.vec_id = s.vec_id "
+        "WHERE p.query_id <> s.vec_id), "
+        "ranked AS (SELECT query_id, neighbor_id, sim, ROW_NUMBER() OVER "
+        "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored) "
+        f"SELECT query_id, neighbor_id, sim, rank::BIGINT AS rank FROM ranked WHERE rank <= {KNN_K}"
     )
 
 

@@ -337,3 +337,136 @@ def ann_topk(
         .select("query_id", "neighbor_id", sim.alias("sim"))
     )
     return _distributed_topk(scored, k)
+
+
+# ------------------------------------------------------------------- IVF
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    num_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(centroid_id, cvec) — a deterministic coarse quantizer: the
+    ``num_centroids`` corpus vectors with the smallest md5(id) (ties by
+    id).  The md5 order is a reproducible pseudo-random sample — the same
+    engine-portable trick as ``sampling.hash_sample`` — so the DuckDB
+    oracle derives the identical codebook in SQL; a real deployment would
+    swap in k-means centroids without touching anything downstream.
+    Scale shape: TakeOrderedAndProject (per-partition top-C, tiny merge),
+    never a global sort."""
+    return (
+        embeddings.select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("cvec"),
+            F.md5(F.col(id_col).cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "centroid_id")
+        .limit(num_centroids)
+        .drop("_h")
+    )
+
+
+def _ivf_cell_exprs(centroids: list[tuple[int, list[float]]], vec_col: str):
+    """Array-of-struct expression [(‑sim6, centroid_id), …] for one
+    vector column against driver-side centroid literals: argmin of the
+    sorted array = highest similarity, ties to the smallest centroid id.
+    Pure codegen projection — the centroid table rides the plan as
+    literals exactly like the SRP hyperplanes (zero Exchange, no UDF)."""
+    items = []
+    for cid, cvec in centroids:
+        lit = F.array(*[F.lit(float(x)) for x in cvec])
+        # zero-norm vectors have NULL cosine; coalesce to -2.0 (below any
+        # real cosine) so they sort last DETERMINISTICALLY in both engines
+        # (Spark ranks struct NULLs first, DuckDB NULLS LAST on DESC —
+        # without the sentinel the two argmaxes disagree)
+        sim6 = F.coalesce(
+            F.round(cosine_similarity(F.col(vec_col), lit), 6), F.lit(-2.0)
+        )
+        items.append(
+            F.struct(
+                (-sim6).alias("_neg"), F.lit(int(cid)).cast("long").alias("cid")
+            )
+        )
+    return F.sort_array(F.array(*items))
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    num_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cell) — nearest-centroid (cosine) cell per vector, the
+    IVF inverted-list assignment.  Similarities are rounded to 6dp BEFORE
+    the argmax so the winning cell is engine-reproducible (the SRP
+    round-before-sign convention); zero-norm vectors (NULL cosine) fall
+    to the -2.0 sentinel and land in the lowest-id centroid's cell in
+    both engines.  One pass over the corpus, no shuffle:
+    the codebook is collected to the driver (it is tiny by construction —
+    C ≤ a few hundred even at 100 TB corpus scale) and inlined."""
+    cent = [
+        (r["centroid_id"], list(r["cvec"]))
+        for r in ivf_centroids(
+            embeddings, num_centroids, id_col=id_col, vec_col=vec_col
+        ).collect()
+    ]
+    cells = _ivf_cell_exprs(cent, vec_col)
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        cells[0]["cid"].alias("cell"),
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    num_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+) -> DataFrame:
+    """(query_id, neighbor_id, sim, rank) — IVF approximate top-k: exact
+    cosine only against vectors whose cell is one of the query's
+    ``nprobe`` nearest centroids (recall < 1 by design; the centroid-
+    codebook counterpart of the SRP-bucket ``ann_topk``).
+
+    Scale shape: cell assignment is a shuffle-free projection over the
+    corpus (driver-inlined codebook, see ``ivf_assign``); the probe list
+    (|queries| × nprobe rows) is broadcast into one join on ``cell``; the
+    only wide exchange in the whole plan is the two-level partial top-k.
+    Candidate volume per query ≈ nprobe/C of the corpus."""
+    cent = [
+        (r["centroid_id"], list(r["cvec"]))
+        for r in ivf_centroids(
+            embeddings, num_centroids, id_col=id_col, vec_col=vec_col
+        ).collect()
+    ]
+    cells = _ivf_cell_exprs(cent, vec_col)
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        cells[0]["cid"].alias("cell"),
+    )
+    probes = (
+        embeddings.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            F.explode(
+                F.slice(F.transform(cells, lambda s: s["cid"]), 1, nprobe)
+            ).alias("cell"),
+        )
+    )
+    sim = cosine_similarity(F.col("_qv"), F.col("_cv"))
+    if round_to is not None:
+        # round BEFORE ranking so rank ties are engine-reproducible
+        sim = F.round(sim, round_to)
+    scored = (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+    )
+    return _distributed_topk(scored, k)

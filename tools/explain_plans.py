@@ -205,6 +205,16 @@ def main() -> None:
     assert "Exchange" not in srp_plan, "srp_buckets must stay shuffle-free"
     sections.append(("srp_buckets (zero-shuffle projection)", srp_plan))
 
+    # 7. IVF cell assignment: the codebook rides the plan as literals
+    # (same trick as the SRP hyperplanes) — assignment must plan as a
+    # pure projection with NO Exchange and no per-row Python.
+    from pregel_golang_implementation_spark.operators.similarity import ivf_assign
+
+    ivf_plan = grab(ivf_assign(emb, num_centroids=8))
+    assert "Exchange" not in ivf_plan, "ivf_assign must stay shuffle-free"
+    assert "BatchEvalPython" not in ivf_plan, "ivf_assign must not plan Python"
+    sections.append(("ivf_assign (zero-shuffle centroid assignment)", ivf_plan))
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write(
             "# PLANS — formatted physical plans of the hot paths\n\n"
