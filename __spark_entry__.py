@@ -58,9 +58,21 @@ from pregel_golang_implementation_spark.operators.similarity import (
     knn_graph,
     srp_buckets,
 )
+from pregel_golang_implementation_spark.operators.events import funnel
+from pregel_golang_implementation_spark.operators.graph_metrics import (
+    degree_assortativity,
+)
+from pregel_golang_implementation_spark.operators.mis import mis_spec, mis_status
+from pregel_golang_implementation_spark.operators.quantization import pq_codes
 from pregel_golang_implementation_spark.operators.sampling import (
     hash_sample,
     mix_corpus,
+    stratified_sample,
+)
+from pregel_golang_implementation_spark.operators.terms import (
+    normalize_text,
+    tfidf_top_terms,
+    top_ngrams,
 )
 from pregel_golang_implementation_spark.operators.sssp import sssp_spec
 from pregel_golang_implementation_spark.operators.textstats import (
@@ -87,6 +99,16 @@ KCORE_K = 5
 KCORE_ROUNDS = 3
 IVF_CENTROIDS = 8
 IVF_NPROBE = 2
+TFIDF_K = 3
+TOP_NGRAMS_K = 20
+STRAT_FRACTIONS = {"src0": 0.8, "src1": 0.5, "src2": 0.25}
+STRAT_DEFAULT = 0.1
+FUNNEL_STEPS = ("view", "click", "purchase")
+PQ_M = 4
+PQ_KSUB = 4
+EMB_DIM = 64
+MIS_ITERS = 4
+MIS_OUT = float(2**48)
 
 
 # --------------------------------------------------------------- helpers
@@ -619,6 +641,58 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (keyword extraction)."""
+    return tfidf_top_terms(_docs(spark, sf_dir), k=TFIDF_K)
+
+
+def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: 20 most frequent word bigrams
+    (boilerplate/contamination signatures); TakeOrdered, no global sort."""
+    return top_ngrams(_docs(spark, sf_dir), k=TOP_NGRAMS_K)
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-form hashes for formatting-invariant exact dedup."""
+    return normalize_text(_docs(spark, sf_dir))
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source hash-sample quotas (domain-weighted corpus curation)."""
+    return stratified_sample(
+        _docs(spark, sf_dir), STRAT_FRACTIONS, default_fraction=STRAT_DEFAULT
+    ).select("doc_id", "source")
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel per user (strictly-after
+    sequencing in integer microseconds; -1 = step not reached)."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel(events, steps=FUNNEL_STEPS)
+
+
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-in degree assortativity of the directed graph — exact BIGINT
+    sufficient statistics, so the correlation is bit-identical across
+    engines."""
+    return degree_assortativity(edges_from_lineitem(spark, sf_dir))
+
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes (4 subspaces × 4 centroids) — the
+    embedding-compression encode pass, shuffle-free."""
+    return pq_codes(_emb(spark, sf_dir), m=PQ_M, ksub=PQ_KSUB, dim=EMB_DIM)
+
+
+def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luby maximal-independent-set after 4 synchronous rounds — the
+    fourth distinct vertex program on the unchanged runner (md5
+    priorities, min-combine data plane)."""
+    und = symmetrize(edges_from_lineitem(spark, sf_dir))
+    res = _runner(spark, mis_spec()).run(und, max_supersteps=MIS_ITERS)
+    return mis_status(res.state)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank_5iter": q_pagerank,
@@ -664,6 +738,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_top10": q_pagerank_top10,
         "personalized_pagerank": q_ppr,
         "pagerank_weighted": q_pagerank_weighted,
+        "tfidf_top3": q_tfidf,
+        "top_bigrams": q_top_bigrams,
+        "text_normalize": q_text_normalize,
+        "stratified_sample": q_stratified_sample,
+        "event_funnel": q_event_funnel,
+        "assortativity": q_assortativity,
+        "pq_codes": q_pq_codes,
+        "mis_4iter": q_mis,
     }
 
 
@@ -987,6 +1069,189 @@ def _dedup_resolve_sql(iters: int, threshold: float) -> str:
     )
 
 
+def _tfidf_sql(k: int) -> str:
+    """Twin of q_tfidf: whitespace tokens, tf per (doc, term), smoothed
+    idf = ln((N+1)/(df+1)) + 1, 6dp-rounded BEFORE ranking (ties →
+    term asc), top-k per document."""
+    return (
+        "WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS term FROM documents), "
+        "tk AS (SELECT doc_id, term FROM tok WHERE term <> ''), "
+        "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2), "
+        "df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), "
+        "n AS (SELECT COUNT(*) AS n_docs FROM documents), "
+        "sc AS (SELECT tf.doc_id, tf.term, tf.tf, "
+        "ROUND(tf.tf * (ln((n.n_docs + 1)::DOUBLE / (df.df + 1)) + 1.0), 6) AS score "
+        "FROM tf JOIN df USING (term) CROSS JOIN n), "
+        "r AS (SELECT doc_id, term, score, ROW_NUMBER() OVER "
+        "(PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank FROM sc) "
+        f"SELECT doc_id, term, score, rank::BIGINT AS rank FROM r WHERE rank <= {k}"
+    )
+
+
+def _top_bigrams_sql(k: int) -> str:
+    return (
+        "WITH toked AS (SELECT doc_id, "
+        "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks FROM documents), "
+        "idx AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM toked), "
+        "g AS (SELECT toks[i] || ' ' || toks[i + 1] AS ngram FROM idx), "
+        "c AS (SELECT ngram, COUNT(*) AS cnt FROM g GROUP BY 1), "
+        "r AS (SELECT ngram, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, ngram ASC) AS rank FROM c) "
+        f"SELECT ngram, cnt, rank::BIGINT AS rank FROM r WHERE rank <= {k}"
+    )
+
+
+def _text_normalize_sql() -> str:
+    return (
+        "SELECT doc_id, md5(norm) AS norm_hash, length(norm)::BIGINT AS n_norm_chars "
+        "FROM (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), "
+        "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm FROM documents)"
+    )
+
+
+def _stratified_sample_sql() -> str:
+    from pregel_golang_implementation_spark.operators.sampling import (
+        _strat_threshold,
+    )
+
+    cases = " ".join(
+        f"WHEN '{g}' THEN '{_strat_threshold(f)}'"
+        for g, f in sorted(STRAT_FRACTIONS.items())
+    )
+    return (
+        "SELECT doc_id, source FROM documents "
+        "WHERE substr(md5('strat|' || doc_id::VARCHAR), 1, 4) < "
+        f"CASE source {cases} ELSE '{_strat_threshold(STRAT_DEFAULT)}' END"
+    )
+
+
+def _funnel_sql(steps: tuple[str, ...]) -> str:
+    parts = ["uu AS (SELECT DISTINCT user_id FROM events)"]
+    prev = None
+    for i, step in enumerate(steps, start=1):
+        if prev is None:
+            parts.append(
+                f"s{i} AS (SELECT user_id, MIN(epoch_us(ts)) AS t FROM events "
+                f"WHERE event_type = '{step}' GROUP BY 1)"
+            )
+        else:
+            parts.append(
+                f"s{i} AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t FROM events e "
+                f"JOIN {prev} p ON e.user_id = p.user_id "
+                f"WHERE e.event_type = '{step}' AND epoch_us(e.ts) > p.t GROUP BY 1)"
+            )
+        prev = f"s{i}"
+    cols = ", ".join(
+        f"COALESCE(s{i}.t, -1) AS t_{s}_us" for i, s in enumerate(steps, start=1)
+    )
+    depth = " + ".join(
+        f"CASE WHEN s{i}.t IS NULL THEN 0 ELSE 1 END"
+        for i in range(1, len(steps) + 1)
+    )
+    joins = " ".join(
+        f"LEFT JOIN s{i} ON uu.user_id = s{i}.user_id"
+        for i in range(1, len(steps) + 1)
+    )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT uu.user_id, {cols}, CAST({depth} AS BIGINT) AS depth FROM uu {joins}"
+    )
+
+
+def _assortativity_sql() -> str:
+    """Twin of q_assortativity — identical exact-integer sufficient
+    statistics, so the double formula is bit-identical."""
+    return (
+        f"WITH {_E}, "
+        "od AS (SELECT src, COUNT(*) AS x FROM e GROUP BY 1), "
+        "idg AS (SELECT dst, COUNT(*) AS y FROM e GROUP BY 1), "
+        "xy AS (SELECT od.x::BIGINT AS x, idg.y::BIGINT AS y "
+        "FROM e JOIN od ON e.src = od.src JOIN idg ON e.dst = idg.dst), "
+        "s AS (SELECT COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS sx, SUM(y)::BIGINT AS sy, "
+        "SUM(x * y)::BIGINT AS sxy, SUM(x * x)::BIGINT AS sxx, SUM(y * y)::BIGINT AS syy FROM xy) "
+        "SELECT ROUND((n * sxy - sx * sy)::DOUBLE / "
+        "(sqrt((n * sxx - sx * sx)::DOUBLE) * sqrt((n * syy - sy * sy)::DOUBLE)), 6) "
+        "AS assortativity FROM s"
+    )
+
+
+def _pq_codes_sql(m: int, ksub: int, dim: int) -> str:
+    """Twin of q_pq_codes: md5-ordered sample codebook (row_number - 1 =
+    centroid code), per-subspace squared-L2 in the same left-fold index
+    order as the engine's F.aggregate, 6dp-rounded before the argmin,
+    ties to the smaller code."""
+    sub = dim // m
+    parts = [
+        "cent AS (SELECT ROW_NUMBER() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 "
+        f"AS cidx, embedding AS cv FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {ksub})",
+        "em AS (SELECT vec_id, embedding AS ev FROM embeddings)",
+    ]
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        dist = (
+            "ROUND(list_aggregate([(ev[i]::DOUBLE - cv[i]::DOUBLE) * "
+            f"(ev[i]::DOUBLE - cv[i]::DOUBLE) for i in generate_series({lo}, {hi})], 'sum'), 6)"
+        )
+        parts.append(
+            f"d{j} AS (SELECT e.vec_id, c.cidx, {dist} AS dist FROM em e CROSS JOIN cent c)"
+        )
+        parts.append(
+            f"a{j} AS (SELECT vec_id, CAST(cidx AS BIGINT) AS code_{j} FROM "
+            f"(SELECT vec_id, cidx, ROW_NUMBER() OVER (PARTITION BY vec_id "
+            f"ORDER BY dist ASC, cidx ASC) AS rn FROM d{j}) WHERE rn = 1)"
+        )
+    joins = " ".join(f"JOIN a{j} USING (vec_id)" for j in range(1, m))
+    codes = ", ".join(f"code_{j}" for j in range(m))
+    return "WITH " + ", ".join(parts) + f" SELECT vec_id, {codes} FROM a0 {joins}"
+
+
+def _mis_priority_expr(h: str) -> str:
+    """First 12 hex chars of md5 as an exact integer-valued double —
+    digit-positional sum with power-of-16 literal weights (DuckDB has no
+    base-16 conv; every partial sum < 2^48 is exact, so this equals
+    Spark's F.conv(...,16,10) bit-for-bit)."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({h}, {t + 1}, 1)) - 1) * {16 ** (11 - t)}"
+        for t in range(12)
+    )
+    return f"CAST({terms} AS DOUBLE)"
+
+
+def _mis_sql(rounds: int) -> str:
+    """Twin of q_mis: Luby rounds unrolled.  State per round: IN = -1,
+    OUT = 2^48, undecided = priority; min over neighbor states answers
+    join/drop (see operators/mis.py docstring for the encoding proof)."""
+    out = f"{float(2 ** 48)!r}"
+    pri = _mis_priority_expr("md5(id::VARCHAR)")
+    parts = [
+        _E,
+        _U,
+        _V,
+        f"s0 AS (SELECT id, {pri} AS val FROM v)",
+    ]
+    for r in range(1, rounds + 1):
+        p = f"s{r - 1}"
+        parts.append(
+            f"m{r} AS (SELECT u.dst AS id, MIN(s.val) AS mn FROM {p} s "
+            f"JOIN u ON s.id = u.src GROUP BY u.dst)"
+        )
+        parts.append(
+            f"s{r} AS (SELECT s.id, CASE "
+            f"WHEN s.val < 0 OR s.val >= {out} THEN s.val "
+            "WHEN m.mn IS NULL THEN -1.0 "
+            f"WHEN m.mn < 0 THEN {out} "
+            f"WHEN m.mn >= {out} THEN -1.0 "
+            "WHEN s.val < m.mn THEN -1.0 "
+            f"ELSE s.val END AS val FROM {p} s LEFT JOIN m{r} m ON s.id = m.id)"
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT id, CASE WHEN val < 0 THEN 'in' WHEN val >= {out} THEN 'out' "
+        f"ELSE 'undecided' END AS status FROM s{rounds}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "pagerank_5iter": _pagerank_sql(PR_ITERS),
@@ -1163,6 +1428,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "personalized_pagerank": _ppr_sql(PR_ITERS),
         "pagerank_weighted": _pagerank_sql(PR_ITERS, weighted=True),
+        "tfidf_top3": _tfidf_sql(TFIDF_K),
+        "top_bigrams": _top_bigrams_sql(TOP_NGRAMS_K),
+        "text_normalize": _text_normalize_sql(),
+        "stratified_sample": _stratified_sample_sql(),
+        "event_funnel": _funnel_sql(FUNNEL_STEPS),
+        "assortativity": _assortativity_sql(),
+        "pq_codes": _pq_codes_sql(PQ_M, PQ_KSUB, EMB_DIM),
+        "mis_4iter": _materialize(_mis_sql(MIS_ITERS)),
     }
 
 

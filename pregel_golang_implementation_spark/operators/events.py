@@ -105,3 +105,52 @@ def sessionize(
         F.max(epoch).alias("end_ts"),
         _decimal_sum("value").alias("total_value"),
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(user_id, t_<step>_us ..., depth) — ordered-funnel analysis: for
+    each user, the earliest time each step was reached STRICTLY AFTER
+    the previous step's reach time, and the number of steps completed in
+    order.  Unreached steps report -1 (not NULL — keeps the column int64
+    in pandas/Arrow on both engines).
+
+    Scale shape: one type-filtered aggregate per funnel step, each a
+    map-side-combinable min keyed by user_id (uniform), chained with
+    user_id-keyed joins — every join key is the same, so a cluster
+    co-partitions all of them under one exchange reuse.  No windows, no
+    per-user event sorting: an n-step funnel costs n filtered aggs, not
+    a sort of the whole log.  Timestamps compare in integer
+    microseconds, so "strictly after" is exact in any engine.
+    """
+    # parquet timestamps arrive as TIMESTAMP_NTZ; the session pins
+    # spark.sql.session.timeZone=UTC (session.py:61), so the cast is a
+    # micros-preserving relabel and unix_micros matches DuckDB epoch_us
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = events.select(F.col("user_id")).distinct()
+    out = base
+    prev_col = None
+    for step in steps:
+        col = f"t_{step}_us"
+        stage = events.filter(F.col(type_col) == step).select(
+            "user_id", us.alias("_t")
+        )
+        if prev_col is not None:
+            stage = stage.join(
+                out.select("user_id", prev_col), "user_id"
+            ).filter(
+                (F.col(prev_col) >= 0) & (F.col("_t") > F.col(prev_col))
+            )
+        reached = stage.groupBy("user_id").agg(F.min("_t").alias(col))
+        out = out.join(reached, "user_id", "left").withColumn(
+            col, F.coalesce(F.col(col), F.lit(-1)).cast("long")
+        )
+        prev_col = col
+    depth = sum(
+        (F.col(f"t_{s}_us") >= 0).cast("long") for s in steps
+    )
+    return out.withColumn("depth", depth)

@@ -1,0 +1,57 @@
+"""Whole-graph summary metrics.
+
+The reference computes no graph-level statistics beyond per-vertex state
+(its only global is the aggregator at Master.go:958-967); these are the
+descriptive metrics a link-graph pipeline reports next to PageRank runs.
+
+Cross-engine float determinism: every aggregate is accumulated as an
+exact BIGINT sufficient statistic first (counts, degree sums, degree
+products — all integers), and the floating-point formula is applied to
+those exact integers at the very end.  IEEE +,-,*,/ and sqrt are
+correctly rounded, so Spark and the DuckDB oracle produce bit-identical
+doubles — no accumulation-order sensitivity anywhere (the same trick as
+operators/events.py's decimal(38,9) sums).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """1-row (assortativity): Pearson correlation, over directed edges,
+    of source out-degree vs destination in-degree — do hubs link to
+    hubs?  (Newman 2002's degree assortativity, out-in flavor.)
+
+    Scale shape: two degree aggregates (map-side combinable), two
+    shuffle joins keyed src / dst (the same keys every Pregel superstep
+    already shuffles on — co-partitioned with the edge layout), then a
+    single 1-row aggregate of six integer sums.  Degree products fit
+    BIGINT while Σ(x·y) < 2^63 — at 10^12 edges with hub degrees ~10^6
+    the sums need the decimal(38,0) widening noted inline.
+    """
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("x"))
+    indeg = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("y"))
+    xy = (
+        edges.join(outdeg, "src")
+        .join(indeg, "dst")
+        .select(F.col("x").cast("long"), F.col("y").cast("long"))
+    )
+    # exact integer sufficient statistics (swap .cast("decimal(38,0)")
+    # in at the 10^12-edge scale where Σxy can overflow int64)
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    num = (n * sxy - sx * sy).cast("double")
+    den = F.sqrt((n * sxx - sx * sx).cast("double")) * F.sqrt(
+        (n * syy - sy * sy).cast("double")
+    )
+    return s.select(F.round(num / den, 6).alias("assortativity"))

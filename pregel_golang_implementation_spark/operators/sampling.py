@@ -90,3 +90,39 @@ def mix_corpus(
         .withColumn("copy_no", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
         .drop("_n")
     )
+
+
+def _strat_threshold(fraction: float) -> str:
+    """Per-group threshold usable inside a CASE chain, where the
+    ``hash_sample`` fraction≥1 short-circuit is unavailable: the 5-char
+    '10000' threshold for 1.0 sorts BELOW most 4-char draws (the exact
+    trap documented on hash_sample), so keep-everything clamps to 'g' —
+    lexicographically above every hex draw."""
+    if fraction >= 1.0:
+        return "g"
+    return _hex_threshold(fraction)
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Per-group deterministic hash sampling — the per-domain quota step
+    of a corpus mix (keep 50% of a trusted source, 5% of a noisy one).
+
+    Same md5-draw mechanism as ``hash_sample``; the per-group threshold
+    is a CASE chain over ``fractions`` (a handful of literals riding the
+    plan — groups are domains/sources, human-curated and small).  Still
+    a pure filter: no shuffle, no RNG, pushes to the scan, and the same
+    (salt, key) draw across groups means moving a document between
+    sources never changes any OTHER document's fate."""
+    thr = F.lit(_strat_threshold(default_fraction))
+    for grp, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(group_col) == grp, F.lit(_strat_threshold(frac))
+        ).otherwise(thr)
+    return docs.filter(_draw(key_col, salt) < thr)

@@ -1,0 +1,143 @@
+"""Term-level corpus analytics: TF-IDF, corpus heavy hitters, text
+normalization.
+
+Training-data pipelines rank and filter documents by term statistics
+(keyword extraction, boilerplate detection, vocabulary builds).  The
+reference engine has no text surface at all — these extend its
+aggregation/join/window categories (SURVEY.md §2.2) onto the
+``documents`` table, all built-in JVM expressions.
+
+Determinism contract (shared with the cosine/IVF operators): any float
+that feeds an ORDER BY is rounded to a fixed number of decimals BEFORE
+ranking, and every tie breaks on a total-ordered key, so the DuckDB
+oracle reproduces ranks exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# one regex, both engines (Java + RE2 agree on this subset)
+_TOKEN_SPLIT = "\\s+"
+
+
+def _tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, term) — one row per token occurrence."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), _TOKEN_SPLIT)).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """(doc_id, term, score, rank) — the ``k`` highest-TF-IDF terms per
+    document; score = tf * (ln((N+1)/(df+1)) + 1), smoothed so terms in
+    every document still score > 0.
+
+    Scale shape: tf is one groupBy keyed (doc_id, term) — uniform unless
+    one document repeats one token billions of times, which the token
+    explode already bounds to that document's own length; df is a
+    map-side-combinable distinct-count aggregate; N rides in as a
+    broadcast 1-row cross join (never ``.collect()`` on the hot path —
+    but it is a scalar, so a driver literal would also be fine); the
+    per-document top-k window partitions on doc_id, which is uniform by
+    construction.  Nothing here is a global sort.
+    """
+    toks = _tokens(docs, text_col, id_col)
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .join(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + F.lit(1)).cast("double")
+                        / (F.col("df") + F.lit(1))
+                    )
+                    + F.lit(1.0)
+                ),
+                round_to,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "score", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def top_ngrams(
+    docs: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(ngram, cnt, rank) — the ``k`` most frequent word bigrams across
+    the corpus (heavy hitters: boilerplate phrases, contamination
+    signatures).
+
+    Exact counts via one (ngram)-keyed groupBy with map-side combine;
+    the final top-k is ``orderBy().limit(k)``, which Spark plans as
+    TakeOrderedAndProject — per-partition top-k then a tiny driver-side
+    merge, NOT a global sort.  A skewed phrase distribution (Zipf — the
+    norm for n-grams) only makes the map-side combine more effective.
+    """
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), _TOKEN_SPLIT).alias("_toks"),
+    ).withColumn("_toks", F.filter("_toks", lambda t: t != ""))
+    grams = toked.select(
+        F.explode(
+            F.expr(
+                "transform(slice(_toks, 1, greatest(size(_toks) - 1, 0)), "
+                "(t, i) -> concat(t, ' ', _toks[i + 1]))"
+            )
+        ).alias("ngram")
+    )
+    counts = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("ngram"))
+    # the single-reducer window is fine HERE ONLY because its input is
+    # already the top-k of a TakeOrdered — k rows, not the corpus
+    topk = counts.orderBy(F.desc("cnt"), F.asc("ngram")).limit(k)
+    return topk.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def normalize_text(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, norm_hash, n_norm_chars) — canonical text form for exact
+    dedup across formatting variants: lowercase, non-alphanumerics to
+    spaces, whitespace collapsed, trimmed; the hash (not the text)
+    travels downstream, so the wide string column dies in this one
+    projection — at 100 TB the normalized text itself is never
+    shuffled.  Pure per-row projection: no shuffle, pushdown-friendly.
+    """
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(norm).alias("norm_hash"),
+        F.length(norm).cast("long").alias("n_norm_chars"),
+    )

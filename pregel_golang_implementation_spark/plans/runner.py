@@ -350,14 +350,18 @@ class PregelRunner:
                 combined = spec.salted_combine(msgs, unsalt)
             else:
                 # algebraic combiner: hub inboxes were split across
-                # num_salts reducer keys (negative id space); merge the
-                # partials. Non-hub rows pass through untouched — only
-                # the (few) hub partials re-shuffle.
-                combined = spec.combine(msgs)
-                hub_partials = unsalt(combined.filter(F.col("id") < 0))
-                combined = combined.filter(F.col("id") >= 0).unionByName(
-                    spec.recombine(hub_partials)
-                )
+                # num_salts reducer keys (negative id space); unsalt ALL
+                # ids (non-hub ids pass through unchanged) and re-merge in
+                # ONE second-level aggregate over ~V partial rows.  A
+                # filter/union formulation evaluates the first aggregate
+                # twice (one reduce stage per filter branch behind the
+                # ReusedExchange) and its union output loses hash
+                # partitioning, forcing the apply join to re-shuffle —
+                # measured 2-3× slower per superstep on the Zipf skew
+                # bench.  Here the recombine groupBy("id") output is
+                # hash-partitioned on id, so the apply join stays
+                # co-partitioned.
+                combined = spec.recombine(unsalt(spec.combine(msgs)))
         elif msg_obs is not None:
             combined = spec.combine_slim(msgs)
         else:
