@@ -62,6 +62,9 @@ from pregel_golang_implementation_spark.operators.events import funnel
 from pregel_golang_implementation_spark.operators.graph_metrics import (
     degree_assortativity,
 )
+from pregel_golang_implementation_spark.operators.link_prediction import (
+    common_neighbor_topk,
+)
 from pregel_golang_implementation_spark.operators.mis import mis_spec, mis_status
 from pregel_golang_implementation_spark.operators.quantization import pq_codes
 from pregel_golang_implementation_spark.operators.sampling import (
@@ -109,6 +112,8 @@ PQ_KSUB = 4
 EMB_DIM = 64
 MIS_ITERS = 4
 MIS_OUT = float(2**48)
+LP_K = 3
+LP_MAX_MID_DEG = 40
 
 
 # --------------------------------------------------------------- helpers
@@ -693,6 +698,14 @@ def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mis_status(res.state)
 
 
+def q_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbors link prediction: per-vertex top-3 non-adjacent
+    candidates by shared-neighbor count, hub middles stop-word-cut at
+    degree 40 (never silently — see operators/link_prediction.py)."""
+    und = symmetrize(edges_from_lineitem(spark, sf_dir))
+    return common_neighbor_topk(und, k=LP_K, max_middle_degree=LP_MAX_MID_DEG)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank_5iter": q_pagerank,
@@ -746,6 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity": q_assortativity,
         "pq_codes": q_pq_codes,
         "mis_4iter": q_mis,
+        "link_predict": q_link_predict,
     }
 
 
@@ -1252,6 +1266,26 @@ def _mis_sql(rounds: int) -> str:
     )
 
 
+def _link_predict_sql(k: int, cap: int) -> str:
+    """Twin of q_link_predict: wedges through middles of degree ≤ cap,
+    pair counts, anti-join existing edges, mirrored per-vertex rank."""
+    return (
+        f"WITH {_E}, {_U}, "
+        "deg AS (SELECT src, COUNT(*) AS d FROM u GROUP BY 1), "
+        f"em AS (SELECT u.src, u.dst FROM u JOIN deg ON u.src = deg.src WHERE deg.d <= {cap}), "
+        "pr AS (SELECT l.dst AS a, r.dst AS b FROM em l JOIN em r ON l.src = r.src "
+        "WHERE l.dst < r.dst), "
+        "cm AS (SELECT a, b, COUNT(*) AS common FROM pr GROUP BY 1, 2), "
+        "ne AS (SELECT cm.a, cm.b, cm.common FROM cm LEFT JOIN u "
+        "ON cm.a = u.src AND cm.b = u.dst WHERE u.src IS NULL), "
+        "mr AS (SELECT a AS id, b AS candidate, common FROM ne "
+        "UNION ALL SELECT b AS id, a AS candidate, common FROM ne), "
+        "r AS (SELECT id, candidate, common, ROW_NUMBER() OVER "
+        "(PARTITION BY id ORDER BY common DESC, candidate ASC) AS rank FROM mr) "
+        f"SELECT id, candidate, common, rank::BIGINT AS rank FROM r WHERE rank <= {k}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "pagerank_5iter": _pagerank_sql(PR_ITERS),
@@ -1436,6 +1470,7 @@ def oracle_sql() -> dict[str, str]:
         "assortativity": _assortativity_sql(),
         "pq_codes": _pq_codes_sql(PQ_M, PQ_KSUB, EMB_DIM),
         "mis_4iter": _materialize(_mis_sql(MIS_ITERS)),
+        "link_predict": _materialize(_link_predict_sql(LP_K, LP_MAX_MID_DEG)),
     }
 
 

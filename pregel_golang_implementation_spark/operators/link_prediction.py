@@ -1,0 +1,87 @@
+"""Common-neighbors link prediction over an undirected graph.
+
+The classic local link-prediction score (Liben-Nowell & Kleinberg 2003):
+rank non-adjacent vertex pairs by how many neighbors they share.  On a
+link graph this drives "related pages"; on a co-occurrence graph,
+entity suggestion.
+
+Scale shape — the same discipline as the dedup/similarity family:
+candidate pairs are generated through WEDGES (two edges sharing a
+middle vertex), so the work is Σ_m deg(m)², which a hub middle
+detonates quadratically.  Middles above ``max_middle_degree`` are
+therefore excluded up front — the standard stop-word cut for this
+score: a vertex adjacent to millions says nothing about any specific
+pair's affinity, exactly like a shingle shared by every document
+(dedup.py's oversized-bucket cap).  The cut is NEVER silent: excluded
+middles are counted and reported via ``lp_report``.  Counting is one
+(a, b)-keyed aggregate with map-side combine; existing edges leave via
+an anti-join; the per-vertex top-k window partitions on the vertex id.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
+
+
+def common_neighbor_topk(
+    und_edges: DataFrame,
+    k: int = 3,
+    max_middle_degree: int | None = 100,
+) -> DataFrame:
+    """(id, candidate, common, rank) — for each vertex, the ``k``
+    non-adjacent vertices sharing the most (cap-eligible) neighbors;
+    deterministic ties → smallest candidate id.  ``und_edges`` must be
+    symmetric (both directions present)."""
+    e = und_edges.select("src", "dst")
+    if max_middle_degree is not None:
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+        dropped = deg.filter(F.col("_d") > max_middle_degree).count()
+        if dropped:
+            log.warning(
+                "common_neighbor_topk: %d middle vertices above degree cap %d "
+                "excluded from wedge generation (stop-word cut — raise "
+                "max_middle_degree to include them)",
+                dropped,
+                max_middle_degree,
+            )
+        e_mid = e.join(
+            deg.filter(F.col("_d") <= max_middle_degree).select("src"), "src"
+        )
+    else:
+        e_mid = e
+    # wedges through each eligible middle m: (a — m — b), a < b
+    pairs = (
+        e_mid.alias("l")
+        .join(e_mid.alias("r"), F.col("l.src") == F.col("r.src"))
+        .filter(F.col("l.dst") < F.col("r.dst"))
+        .select(F.col("l.dst").alias("a"), F.col("r.dst").alias("b"))
+    )
+    common = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("common"))
+    # drop pairs that are already edges (a<b ordering matches one direction
+    # of the symmetric edge list)
+    non_edges = common.join(
+        e.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    # per-vertex view: each surviving pair scores both endpoints
+    mirrored = non_edges.select(
+        F.col("a").alias("id"), F.col("b").alias("candidate"), "common"
+    ).unionByName(
+        non_edges.select(
+            F.col("b").alias("id"), F.col("a").alias("candidate"), "common"
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("common"), F.asc("candidate"))
+    return (
+        mirrored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "id", "candidate", "common", F.col("rank").cast("long").alias("rank")
+        )
+    )

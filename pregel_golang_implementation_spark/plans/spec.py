@@ -21,7 +21,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Callable, Optional
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # (src_value, edge_weight, globals as python floats) -> message value
@@ -83,43 +83,50 @@ def combine_sum(msgs: DataFrame) -> DataFrame:
     )
 
 
-def combine_mode(msgs: DataFrame) -> DataFrame:
-    """mode-combiner (label propagation): most frequent message value,
-    deterministic ties → smallest value.  count + window row_number — no
-    Python (SURVEY.md §2.2 'window functions')."""
-    counts = msgs.groupBy("id", "msg").agg(F.count(F.lit(1)).alias("cnt"))
-    per_id = Window.partitionBy("id")
-    order = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("msg"))
+def _mode_argmax(counts: DataFrame) -> DataFrame:
+    """(id, msg, cnt) partial counts → (id, msg, msg_count): the winner
+    is max by (cnt, -msg), i.e. most frequent label with deterministic
+    ties → smallest label, as ONE algebraic aggregate (struct ordering
+    is field-lexicographic).  Replaces the earlier row_number window:
+    an aggregate partial-combines map-side and has no per-id sort, so a
+    hub vertex whose inbox holds millions of distinct labels costs one
+    running max per map partition instead of a single-task sort of all
+    its (label, count) rows — the window was the last reducer-skew
+    point in the LPA plan."""
     return (
-        counts.withColumn("msg_count", F.sum("cnt").over(per_id))
-        .withColumn("_rn", F.row_number().over(order))
-        .filter(F.col("_rn") == 1)
-        .select("id", "msg", "msg_count")
+        counts.groupBy("id").agg(
+            F.max(F.struct(F.col("cnt"), (-F.col("msg")).alias("_neg"))).alias("_w"),
+            F.sum("cnt").alias("msg_count"),
+        )
+        .select("id", (-F.col("_w._neg")).alias("msg"), "msg_count")
     )
 
 
+def combine_mode(msgs: DataFrame) -> DataFrame:
+    """mode-combiner (label propagation): most frequent message value,
+    deterministic ties → smallest value.  Two chained algebraic
+    aggregates — count per (id, label), then argmax per id — both
+    map-side combinable, no window, no Python."""
+    counts = msgs.groupBy("id", "msg").agg(F.count(F.lit(1)).alias("cnt"))
+    return _mode_argmax(counts)
+
+
 def salted_combine_mode(msgs: DataFrame, unsalt) -> DataFrame:
-    """Hub-salted mode combine (LPA).  Mode is NOT algebraic — merging two
-    groups' winners loses the counts — so the salted path must carry
-    (label, count) PARTIALS across the unsalt boundary, not winners:
+    """Hub-salted mode combine (LPA).  Mode winners can't be merged
+    across salt replicas — merging two groups' winners loses the counts
+    — so the salted path carries (label, count) PARTIALS across the
+    unsalt boundary, not winners:
 
       1. count labels per SALTED key — the heavy message shuffle, with a
          hub's inbox split across its salt replicas;
       2. unsalt and re-sum counts per real (id, label) — cardinality is
          distinct-labels-per-vertex, orders of magnitude below the inbox;
-      3. argmax with the deterministic smallest-label tie-break.
+      3. the same algebraic argmax as ``combine_mode``.
 
     ``unsalt`` maps salted ids back (provided by the runner)."""
     counts = msgs.groupBy("id", "msg").agg(F.count(F.lit(1)).alias("cnt"))
     merged = unsalt(counts).groupBy("id", "msg").agg(F.sum("cnt").alias("cnt"))
-    per_id = Window.partitionBy("id")
-    order = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("msg"))
-    return (
-        merged.withColumn("msg_count", F.sum("cnt").over(per_id))
-        .withColumn("_rn", F.row_number().over(order))
-        .filter(F.col("_rn") == 1)
-        .select("id", "msg", "msg_count")
-    )
+    return _mode_argmax(merged)
 
 
 def recombine_min(partials: DataFrame) -> DataFrame:

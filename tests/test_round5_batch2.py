@@ -270,3 +270,34 @@ def test_mis_fixed_rounds_leave_deterministic_undecided(spark):
     )
     assert a == b
     assert OUT_SENTINEL == float(2**48)
+
+
+# -------------------------------------------------------- link prediction
+
+def test_common_neighbors_square(spark):
+    # square 1-2-3-4-1: diagonals (1,3) and (2,4) share two neighbors
+    und = _und(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
+    from pregel_golang_implementation_spark.operators.link_prediction import (
+        common_neighbor_topk,
+    )
+
+    out = {(r["id"], r["candidate"]): (r["common"], r["rank"]) for r in
+           common_neighbor_topk(und, k=3, max_middle_degree=None).collect()}
+    assert out[(1, 3)] == (2, 1)
+    assert out[(2, 4)] == (2, 1)
+    assert len(out) == 4  # mirrored both directions, nothing else
+
+
+def test_common_neighbors_middle_degree_cap(spark):
+    # star center 0 with leaves 1..5 plus a wedge 1-9-2; cap below the
+    # star degree excludes 0 as middle, so only (1,2) via 9 survives
+    from pregel_golang_implementation_spark.operators.link_prediction import (
+        common_neighbor_topk,
+    )
+
+    star = [(0, i) for i in range(1, 6)]
+    und = _und(spark, star + [(1, 9), (9, 2)])
+    out = {(r["id"], r["candidate"]): r["common"] for r in
+           common_neighbor_topk(und, k=5, max_middle_degree=3).collect()}
+    assert (1, 2) in out and out[(1, 2)] == 1
+    assert all(a != 3 for a, _ in out)  # leaf 3 only reachable via the cut hub

@@ -146,7 +146,18 @@ def run_worker(cores: int, num_vertices: int, avg_degree: int, supersteps: int) 
     vertices = spark.read.parquet(os.path.join(graph_dir, "vertices"))
     n_edges = pr_edges.count()
     n = vertices.count()
-    spec = pagerank_spec(n, tol=0.0)  # tol=0 → never converges early
+    # job selector: the skew benchmark measures salting on BOTH combine
+    # families — algebraic (pagerank sum) and non-algebraic (lpa mode,
+    # which routes through spec.salted_combine's count-partial path)
+    job = os.environ.get("PREGEL_SCALING_JOB", "pagerank")
+    if job == "lpa":
+        from pregel_golang_implementation_spark.operators.label_propagation import (
+            lpa_spec,
+        )
+
+        spec = lpa_spec(max_supersteps=supersteps + 1)
+    else:
+        spec = pagerank_spec(n, tol=0.0)  # tol=0 → never converges early
 
     # fixed partitioning at BOTH levels (like a real cluster, where the
     # table layout doesn't change when executors scale); throughput is the
@@ -198,6 +209,7 @@ def run_worker(cores: int, num_vertices: int, avg_degree: int, supersteps: int) 
                 "edges_per_sec": round(n_edges / med, 1),
                 "supersteps_per_min": round(60.0 / med, 2),
                 "salt_degree_threshold": salt_thr,
+                "job": job,
                 "slim_shuffle": runner.slim_shuffle,
                 "extra_conf": extra,
             }
@@ -388,6 +400,7 @@ def skew_orchestrate(
     zipf_a: float,
     salt_thr: int,
     repeats: int = 2,
+    job: str = "pagerank",
 ) -> None:
     """Salted-vs-unsalted PageRank on a Zipf in-degree graph at local[N]
     and local[4N] (r4 verdict #4): the gate graph is degree-uniform, so
@@ -412,6 +425,7 @@ def skew_orchestrate(
                     env={
                         "PREGEL_SCALING_GRAPH_DIR": graph_dir,
                         "PREGEL_SCALING_SALT": str(thr),
+                        "PREGEL_SCALING_JOB": job,
                         # isolate the salting variable: the salted path
                         # cannot use the slim combine (recombine merges
                         # count partials), so pin slim OFF for both sides
@@ -425,7 +439,7 @@ def skew_orchestrate(
         return max(runs[(cores, thr)], key=lambda r: r["edges_per_sec"])
 
     report = {
-        "job": "pagerank_fixed_supersteps_zipf",
+        "job": f"{job}_fixed_supersteps_zipf",
         "input": {
             "n_vertices": num_vertices,
             "avg_degree": avg_degree,
@@ -460,7 +474,8 @@ def skew_orchestrate(
         },
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling_skew_latest.json"), "w") as f:
+    suffix = "" if job == "pagerank" else f"_{job}"
+    with open(os.path.join(REPO, "BENCH", f"scaling_skew{suffix}_latest.json"), "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps({k: report[k] for k in ("best", "efficiency", "median_efficiency")}, indent=2))
 
@@ -542,7 +557,8 @@ if __name__ == "__main__":
         s = int(sys.argv[5]) if len(sys.argv) > 5 else 6
         a = float(sys.argv[6]) if len(sys.argv) > 6 else 4.0
         thr = int(sys.argv[7]) if len(sys.argv) > 7 else 10_000
-        skew_orchestrate(n, v, d, s, a, thr)
+        jb = sys.argv[8] if len(sys.argv) > 8 else "pagerank"
+        skew_orchestrate(n, v, d, s, a, thr, job=jb)
     elif len(sys.argv) > 1 and sys.argv[1] == "worker":
         run_worker(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]), int(sys.argv[5]))
     elif len(sys.argv) > 1 and sys.argv[1] == "vanilla":
