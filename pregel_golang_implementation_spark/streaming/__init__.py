@@ -12,6 +12,9 @@ iterates over.  This module provides that via Structured Streaming:
     via the streaming checkpoint.
   - ``compact_edge_table``: cross-batch dedup compaction of the streamed
     table (atomic swap) — run periodically or before a big job.
+  - ``streaming_sessionize``: gap sessions as a custom stateful
+    operator (``applyInPandasWithState`` + event-time timeout) —
+    exactly-once session emission, state bounded by open sessions.
   - ``windowed_event_stats``: watermarked tumbling-window aggregation
     over an event stream (late data beyond the watermark dropped in
     update mode) — the standard curation telemetry shape.
@@ -24,11 +27,13 @@ from pregel_golang_implementation_spark.streaming.ingest import (
     compact_edge_table,
     edge_stream_ingest,
     streaming_dedup_docs,
+    streaming_sessionize,
     windowed_event_stats,
 )
 
 __all__ = [
     "compact_edge_table",
+    "streaming_sessionize",
     "edge_stream_ingest",
     "streaming_dedup_docs",
     "windowed_event_stats",

@@ -334,3 +334,121 @@ def windowed_event_stats(
         .queryName(query_name)
         .start()
     )
+
+
+def streaming_sessionize(
+    spark: SparkSession,
+    input_dir: str,
+    schema: T.StructType,
+    gap_minutes: int = 30,
+    watermark: str = "10 minutes",
+    query_name: str = "stream_sessions",
+):
+    """Cross-batch gap sessionization as a custom stateful streaming
+    operator — the streaming twin of ``events.sessionize`` and the
+    textbook use of ``applyInPandasWithState`` with an EVENT-TIME
+    timeout (Structured Streaming has no built-in session window with a
+    per-key gap close + single final emission).
+
+    Per user_id the state holds one OPEN session (start/end epoch
+    seconds, event count, value sum).  Each micro-batch folds that
+    user's new events in event-time order: a gap > ``gap_minutes``
+    closes the open session (emitted immediately) and starts a new one.
+    The state's timeout is re-armed to ``session_end + gap`` on every
+    update, so when the WATERMARK passes that point with no new events,
+    the function is invoked once more for the timed-out key and emits
+    the final session — sessions are emitted EXACTLY once, state is
+    evicted on close, and total state is bounded by the number of
+    concurrently-open sessions (the 100 TB requirement; a hot user costs
+    one small tuple, not an event buffer).
+
+    Late events older than the watermark are dropped by the engine
+    before they reach the function — same contract as
+    ``windowed_event_stats``.  Events inside one batch may arrive
+    unsorted (sorted here); events for one session split across batches
+    merge through the state.  Memory sink, local verification.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap = gap_minutes * 60
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    # the watermarked column itself must survive into the grouped frame —
+    # event-time timeout is rejected if the projection drops it
+    keyed = stream.withWatermark("ts", watermark).select(
+        "user_id",
+        F.col("ts"),
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("_ep"),
+        "value",
+    )
+
+    def fold_sessions(key, pdf_iter, state):
+        import pandas as pd
+
+        (uid,) = key
+        if state.hasTimedOut:
+            s, e, n, v = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": uid,
+                        "start_ts": s,
+                        "end_ts": e,
+                        "n_events": n,
+                        "total_value": v,
+                    }
+                ]
+            )
+            return
+        cur = list(state.get) if state.exists else None
+        closed = []
+        rows = pd.concat(list(pdf_iter), ignore_index=True)
+        if len(rows) == 0 and cur is None:
+            return
+        for ep, val in (
+            rows[["_ep", "value"]].sort_values("_ep").itertuples(index=False)
+        ):
+            ep = int(ep)
+            if cur is None:
+                cur = [ep, ep, 0, 0.0]
+            elif ep - cur[1] > gap:
+                closed.append(tuple(cur))
+                cur = [ep, ep, 0, 0.0]
+            cur[1] = max(cur[1], ep)
+            cur[2] += 1
+            cur[3] += float(val)
+        state.update(tuple(cur))
+        # close the open session when event time goes quiet past the gap
+        state.setTimeoutTimestamp((cur[1] + gap) * 1000)
+        if closed:
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": uid,
+                        "start_ts": s,
+                        "end_ts": e,
+                        "n_events": n,
+                        "total_value": v,
+                    }
+                    for (s, e, n, v) in closed
+                ]
+            )
+
+    out = keyed.groupBy("user_id").applyInPandasWithState(
+        fold_sessions,
+        outputStructType=(
+            "user_id long, start_ts long, end_ts long, "
+            "n_events long, total_value double"
+        ),
+        stateStructType=(
+            "start_ts long, end_ts long, n_events long, total_value double"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )

@@ -66,3 +66,65 @@ def test_windowed_event_stats_watermark(spark, tmp_path):
     }
     assert out[(0, "click")] == (2, 3.0)
     assert out[(5, "view")] == (1, 5.0)
+
+
+def test_streaming_sessionize_gap_and_timeout(spark, tmp_path):
+    from pregel_golang_implementation_spark.streaming import streaming_sessionize
+
+    src = str(tmp_path / "sess_events")
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType(), False),
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("value", T.DoubleType(), False),
+        ]
+    )
+
+    def write(rows, mode):
+        spark.createDataFrame(
+            rows, "ts string, user_id long, value double"
+        ).select(F.col("ts").cast("timestamp"), "user_id", "value").write.mode(
+            mode
+        ).parquet(src)
+
+    # batch 1: user 1 has two sessions split by a >30-min gap (second
+    # session closes the first IN-batch); the second stays open
+    write(
+        [
+            ("2026-01-01 00:00:00", 1, 1.0),
+            ("2026-01-01 00:10:00", 1, 2.0),
+            ("2026-01-01 01:00:00", 1, 4.0),
+        ],
+        "overwrite",
+    )
+    q = streaming_sessionize(
+        spark, src, schema, gap_minutes=30, watermark="5 minutes",
+        query_name="sess_test",
+    )
+    q.processAllAvailable()
+    got = [tuple(r) for r in spark.sql("SELECT * FROM sess_test ORDER BY start_ts").collect()]
+    import datetime as _dt
+
+    def ep(s):
+        # UTC explicitly — the Spark session pins timeZone=UTC, and a
+        # naive .timestamp() would apply the box's local zone instead
+        return int(
+            _dt.datetime.fromisoformat(s)
+            .replace(tzinfo=_dt.timezone.utc)
+            .timestamp()
+        )
+
+    assert got == [(1, ep("2026-01-01 00:00:00"), ep("2026-01-01 00:10:00"), 2, 3.0)]
+
+    # batches 2+3: a much-later event from ANOTHER user advances the
+    # watermark past user 1's (end + gap) timeout → the open session is
+    # emitted exactly once via the event-time timeout path
+    write([("2026-01-01 05:00:00", 99, 9.0)], "append")
+    q.processAllAvailable()
+    write([("2026-01-01 06:00:00", 99, 9.0)], "append")
+    q.processAllAvailable()
+    q.stop()
+    got = [tuple(r) for r in spark.sql("SELECT * FROM sess_test ORDER BY start_ts").collect()]
+    assert (1, ep("2026-01-01 01:00:00"), ep("2026-01-01 01:00:00"), 1, 4.0) in got
+    # no duplicate emission of the first session
+    assert len([g for g in got if g[0] == 1]) == 2
