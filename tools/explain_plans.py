@@ -215,6 +215,26 @@ def main() -> None:
     assert "BatchEvalPython" not in ivf_plan, "ivf_assign must not plan Python"
     sections.append(("ivf_assign (zero-shuffle centroid assignment)", ivf_plan))
 
+    # 8. PQ encode: per-subspace codebook literals, squared-L2 argmin —
+    # the same inlined-literal discipline as SRP/IVF: zero Exchange,
+    # zero Python across the whole corpus pass.
+    from pregel_golang_implementation_spark.operators.quantization import pq_codes
+
+    pq_plan = grab(pq_codes(emb, m=4, ksub=4, dim=64))
+    assert "Exchange" not in pq_plan, "pq_codes must stay shuffle-free"
+    assert "BatchEvalPython" not in pq_plan, "pq_codes must not plan Python"
+    sections.append(("pq_codes (zero-shuffle PQ encode)", pq_plan))
+
+    # 9. LPA mode combine: must plan as partial+final HashAggregate
+    # pairs with NO Window (the r5 windowless argmax) — a window here
+    # would reintroduce the per-id single-task sort on hub vertices.
+    from pregel_golang_implementation_spark.plans.spec import combine_mode
+
+    msgs = edges.select(F.col("dst").alias("id"), F.col("src").cast("double").alias("msg"))
+    mode_plan = grab(combine_mode(msgs))
+    assert "Window" not in mode_plan, "combine_mode must not plan a Window"
+    sections.append(("combine_mode (windowless algebraic argmax)", mode_plan))
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write(
             "# PLANS — formatted physical plans of the hot paths\n\n"
