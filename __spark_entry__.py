@@ -74,6 +74,7 @@ from pregel_golang_implementation_spark.operators.sampling import (
 )
 from pregel_golang_implementation_spark.operators.terms import (
     normalize_text,
+    repeated_spans,
     tfidf_top_terms,
     top_ngrams,
 )
@@ -114,6 +115,8 @@ MIS_ITERS = 4
 MIS_OUT = float(2**48)
 LP_K = 3
 LP_MAX_MID_DEG = 40
+SPAN_N = 6
+SPAN_MIN_DOCS = 2
 
 
 # --------------------------------------------------------------- helpers
@@ -706,6 +709,13 @@ def q_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return common_neighbor_topk(und, k=LP_K, max_middle_degree=LP_MAX_MID_DEG)
 
 
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact 6-token spans (fixed-window exact-substring
+    contamination detection; map-side combine absorbs the Zipf span
+    distribution)."""
+    return repeated_spans(_docs(spark, sf_dir), n=SPAN_N, min_docs=SPAN_MIN_DOCS)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank_5iter": q_pagerank,
@@ -760,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": q_pq_codes,
         "mis_4iter": q_mis,
         "link_predict": q_link_predict,
+        "repeated_spans": q_repeated_spans,
     }
 
 
@@ -1286,6 +1297,18 @@ def _link_predict_sql(k: int, cap: int) -> str:
     )
 
 
+def _repeated_spans_sql(n: int, min_docs: int) -> str:
+    return (
+        "WITH toked AS (SELECT doc_id, "
+        "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks FROM documents), "
+        f"idx AS (SELECT doc_id, toks, unnest(range(1, len(toks) - {n} + 2)) AS i FROM toked), "
+        f"sp AS (SELECT doc_id, array_to_string(toks[i:i+{n}-1], ' ') AS span FROM idx), "
+        "g AS (SELECT span, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS total_occurrences, "
+        "MIN(doc_id) AS min_doc_id FROM sp GROUP BY 1) "
+        f"SELECT span, n_docs, total_occurrences, min_doc_id FROM g WHERE n_docs >= {min_docs}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "pagerank_5iter": _pagerank_sql(PR_ITERS),
@@ -1471,6 +1494,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_codes": _pq_codes_sql(PQ_M, PQ_KSUB, EMB_DIM),
         "mis_4iter": _materialize(_mis_sql(MIS_ITERS)),
         "link_predict": _materialize(_link_predict_sql(LP_K, LP_MAX_MID_DEG)),
+        "repeated_spans": _repeated_spans_sql(SPAN_N, SPAN_MIN_DOCS),
     }
 
 

@@ -141,3 +141,52 @@ def normalize_text(
         F.md5(norm).alias("norm_hash"),
         F.length(norm).cast("long").alias("n_norm_chars"),
     )
+
+
+def repeated_spans(
+    docs: DataFrame,
+    n: int = 6,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(span, n_docs, total_occurrences, min_doc_id) — exact n-token
+    spans appearing in ≥ ``min_docs`` distinct documents: the detection
+    half of exact-substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — their suffix-array
+    find-then-cut, restricted to a fixed window length, which turns the
+    suffix array into a plain aggregate).
+
+    Scale shape: explode to (span, doc) — corpus token count × 1 rows —
+    then one groupBy keyed by the span text.  Span frequencies are Zipf
+    (boilerplate dominates), which map-side partial aggregation absorbs:
+    each map partition emits one partial per distinct span it saw.  The
+    ``min_docs`` filter prunes the long unique tail immediately after
+    the aggregate.  At 100 TB the span STRING should be replaced by its
+    xxhash64 for the shuffle (8 bytes vs ~40) and rehydrated by joining
+    winners back — kept as text here so the oracle compares values.
+    """
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(F.split(F.col(text_col), _TOKEN_SPLIT), lambda t: t != "").alias(
+            "_toks"
+        ),
+    )
+    spans = toked.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(slice(_toks, 1, greatest(size(_toks) - {n} + 1, 0)), "
+                f"(t, i) -> array_join(slice(_toks, i + 1, {n}), ' '))"
+            )
+        ).alias("span"),
+    )
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("total_occurrences"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
