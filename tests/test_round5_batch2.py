@@ -301,3 +301,37 @@ def test_common_neighbors_middle_degree_cap(spark):
            common_neighbor_topk(und, k=5, max_middle_degree=3).collect()}
     assert (1, 2) in out and out[(1, 2)] == 1
     assert all(a != 3 for a, _ in out)  # leaf 3 only reachable via the cut hub
+
+
+def test_mis_equals_greedy_on_random_graphs(spark):
+    # randomized structural sweep: Luby-with-fixed-priorities must equal
+    # the sequential greedy-by-priority MIS on every graph (seeded
+    # Erdős–Rényi-ish samples; deterministic across runs)
+    import random
+
+    from pregel_golang_implementation_spark.operators.mis import priority_expr
+
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        n = 24
+        pairs = sorted(
+            {
+                (a, b)
+                for a in range(1, n)
+                for b in range(a + 1, n + 1)
+                if rng.random() < 0.12
+            }
+        )
+        if not pairs:
+            continue
+        ids = sorted({x for p in pairs for x in p})
+        res = mis(spark, _und(spark, pairs), max_supersteps=64)
+        status = {r["id"]: r["status"] for r in mis_status(res.state).collect()}
+        got = {i for i, s in status.items() if s == "in"}
+        pri = {
+            r["id"]: r["p"]
+            for r in spark.createDataFrame([(i,) for i in ids], "id long")
+            .select("id", priority_expr().alias("p"))
+            .collect()
+        }
+        assert got == _greedy_mis(pairs, ids, pri), f"seed {seed}"
