@@ -58,7 +58,7 @@ from pregel_golang_implementation_spark.operators.similarity import (
     knn_graph,
     srp_buckets,
 )
-from pregel_golang_implementation_spark.operators.events import funnel
+from pregel_golang_implementation_spark.operators.events import funnel, last_touch
 from pregel_golang_implementation_spark.operators.graph_metrics import (
     degree_assortativity,
 )
@@ -716,6 +716,14 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeated_spans(_docs(spark, sf_dir), n=SPAN_N, min_docs=SPAN_MIN_DOCS)
 
 
+def q_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of attribution: most recent view strictly before each purchase
+    (running conditional window max — the as-of-join shape without the
+    quadratic inequality join)."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return last_touch(events, target="purchase", touch="view")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank_5iter": q_pagerank,
@@ -771,6 +779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis_4iter": q_mis,
         "link_predict": q_link_predict,
         "repeated_spans": q_repeated_spans,
+        "last_touch": q_last_touch,
     }
 
 
@@ -1309,6 +1318,20 @@ def _repeated_spans_sql(n: int, min_docs: int) -> str:
     )
 
 
+def _last_touch_sql(target: str = "purchase", touch: str = "view") -> str:
+    return (
+        "WITH e2 AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t FROM events), "
+        "w AS (SELECT event_id, user_id, event_type, t, "
+        f"MAX(CASE WHEN event_type = '{touch}' THEN t END) OVER "
+        "(PARTITION BY user_id ORDER BY t, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_v FROM e2) "
+        "SELECT event_id, user_id, t AS t_target_us, "
+        "COALESCE(last_v, -1) AS t_touch_us, "
+        "CASE WHEN last_v IS NULL THEN -1 ELSE t - last_v END AS gap_us "
+        f"FROM w WHERE event_type = '{target}'"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "pagerank_5iter": _pagerank_sql(PR_ITERS),
@@ -1495,6 +1518,7 @@ def oracle_sql() -> dict[str, str]:
         "mis_4iter": _materialize(_mis_sql(MIS_ITERS)),
         "link_predict": _materialize(_link_predict_sql(LP_K, LP_MAX_MID_DEG)),
         "repeated_spans": _repeated_spans_sql(SPAN_N, SPAN_MIN_DOCS),
+        "last_touch": _last_touch_sql(),
     }
 
 

@@ -154,3 +154,43 @@ def funnel(
         (F.col(f"t_{s}_us") >= 0).cast("long") for s in steps
     )
     return out.withColumn("depth", depth)
+
+
+def last_touch(
+    events: DataFrame,
+    target: str = "purchase",
+    touch: str = "view",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(event_id, user_id, t_target_us, t_touch_us, gap_us) — as-of
+    attribution: for every ``target`` event, the most recent ``touch``
+    event by the same user STRICTLY BEFORE it (-1 when none) — the
+    as-of-join shape (point-in-time lookup) expressed as one running
+    window maximum instead of an inequality join: a conditional max over
+    rows-preceding is a single pass per user in time order, where the
+    naive target×touch inequality join is quadratic in events-per-user.
+
+    Window keys are user_id (uniform); ordering is (epoch µs, event_id)
+    so simultaneous events resolve deterministically in any engine.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us, "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior_touch = F.max(F.when(F.col(type_col) == touch, us)).over(w)
+    out = events.withColumn("_t", us).withColumn(
+        "_last", F.coalesce(prior_touch, F.lit(-1))
+    )
+    return out.filter(F.col(type_col) == target).select(
+        "event_id",
+        "user_id",
+        F.col("_t").alias("t_target_us"),
+        F.col("_last").cast("long").alias("t_touch_us"),
+        F.when(F.col("_last") >= 0, F.col("_t") - F.col("_last"))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("gap_us"),
+    )

@@ -335,3 +335,27 @@ def test_mis_equals_greedy_on_random_graphs(spark):
             .collect()
         }
         assert got == _greedy_mis(pairs, ids, pri), f"seed {seed}"
+
+
+def test_last_touch_attribution(spark):
+    import datetime as _dt
+
+    t0 = _dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + _dt.timedelta(seconds=0), 1, "view", 0.0, "{}"),
+        (2, t0 + _dt.timedelta(seconds=5), 1, "view", 0.0, "{}"),
+        (3, t0 + _dt.timedelta(seconds=9), 1, "purchase", 0.0, "{}"),
+        (4, t0 + _dt.timedelta(seconds=0), 2, "purchase", 0.0, "{}"),  # no prior view
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    from pregel_golang_implementation_spark.operators.events import last_touch
+
+    out = {r["event_id"]: (r["t_touch_us"], r["gap_us"]) for r in
+           last_touch(events).collect()}
+    # purchase 3 attributes to the LATEST prior view (t=5), gap 4s
+    assert out[3][1] == 4_000_000
+    assert out[4] == (-1, -1)
