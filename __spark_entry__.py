@@ -62,6 +62,7 @@ from pregel_golang_implementation_spark.operators.events import funnel, last_tou
 from pregel_golang_implementation_spark.operators.graph_metrics import (
     degree_assortativity,
 )
+from pregel_golang_implementation_spark.operators.hits import hits
 from pregel_golang_implementation_spark.operators.link_prediction import (
     common_neighbor_topk,
 )
@@ -117,6 +118,7 @@ LP_K = 3
 LP_MAX_MID_DEG = 40
 SPAN_N = 6
 SPAN_MIN_DOCS = 2
+HITS_ITERS = 3
 
 
 # --------------------------------------------------------------- helpers
@@ -724,6 +726,12 @@ def q_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return last_touch(events, target="purchase", touch="view")
 
 
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities, 3 L1-normalized rounds on the directed
+    graph (operators/hits.py); oracle = the recurrence unrolled."""
+    return hits(edges_from_lineitem(spark, sf_dir), iterations=HITS_ITERS, round_to=6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank_5iter": q_pagerank,
@@ -780,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_predict": q_link_predict,
         "repeated_spans": q_repeated_spans,
         "last_touch": q_last_touch,
+        "hits_3iter": q_hits,
     }
 
 
@@ -1332,6 +1341,32 @@ def _last_touch_sql(target: str = "purchase", touch: str = "view") -> str:
     )
 
 
+def _hits_sql(iters: int) -> str:
+    """Twin of q_hits: authority/hub half-steps unrolled, L1 norm via a
+    1-row total subquery, 6dp rounding at the very end (the PageRank
+    oracle's determinism recipe)."""
+    parts = [_E, _V, "h0 AS (SELECT id, 1.0 AS h FROM v)"]
+    for k in range(1, iters + 1):
+        parts += [
+            f"ar{k} AS (SELECT e.dst AS id, SUM(h.h) AS s FROM e "
+            f"JOIN h{k - 1} h ON e.src = h.id GROUP BY e.dst)",
+            f"at{k} AS (SELECT SUM(s) AS t FROM ar{k})",
+            f"a{k} AS (SELECT v.id, COALESCE(ar{k}.s, 0.0) / (SELECT t FROM at{k}) AS a "
+            f"FROM v LEFT JOIN ar{k} ON v.id = ar{k}.id)",
+            f"hr{k} AS (SELECT e.src AS id, SUM(a.a) AS s FROM e "
+            f"JOIN a{k} a ON e.dst = a.id GROUP BY e.src)",
+            f"ht{k} AS (SELECT SUM(s) AS t FROM hr{k})",
+            f"h{k} AS (SELECT v.id, COALESCE(hr{k}.s, 0.0) / (SELECT t FROM ht{k}) AS h "
+            f"FROM v LEFT JOIN hr{k} ON v.id = hr{k}.id)",
+        ]
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT h.id, ROUND(h.h, 6) AS hub, ROUND(a.a, 6) AS authority "
+        f"FROM h{iters} h JOIN a{iters} a ON h.id = a.id"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "pagerank_5iter": _pagerank_sql(PR_ITERS),
@@ -1519,6 +1554,7 @@ def oracle_sql() -> dict[str, str]:
         "link_predict": _materialize(_link_predict_sql(LP_K, LP_MAX_MID_DEG)),
         "repeated_spans": _repeated_spans_sql(SPAN_N, SPAN_MIN_DOCS),
         "last_touch": _last_touch_sql(),
+        "hits_3iter": _materialize(_hits_sql(HITS_ITERS)),
     }
 
 

@@ -359,3 +359,28 @@ def test_last_touch_attribution(spark):
     # purchase 3 attributes to the LATEST prior view (t=5), gap 4s
     assert out[3][1] == 4_000_000
     assert out[4] == (-1, -1)
+
+
+def test_hits_matches_numpy_power_iteration(spark):
+    from pregel_golang_implementation_spark.operators.hits import hits
+
+    pairs = [(1, 2), (1, 3), (2, 3), (4, 3), (4, 2), (3, 5)]
+    edges = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in pairs], "src long, dst long, weight double"
+    )
+    got = {r["id"]: (r["hub"], r["authority"]) for r in
+           hits(edges, iterations=4).collect()}
+    ids = sorted({x for p in pairs for x in p})
+    ix = {v: i for i, v in enumerate(ids)}
+    A = np.zeros((len(ids), len(ids)))
+    for a, b in pairs:
+        A[ix[a], ix[b]] = 1.0
+    h = np.ones(len(ids))
+    for _ in range(4):
+        a = A.T @ h
+        a = a / a.sum()
+        h = A @ a
+        h = h / h.sum()
+    for v in ids:
+        assert abs(got[v][0] - h[ix[v]]) < 1e-9, v
+        assert abs(got[v][1] - a[ix[v]]) < 1e-9, v
