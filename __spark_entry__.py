@@ -88,6 +88,9 @@ from pregel_golang_implementation_spark.operators.textstats import (
 )
 from pregel_golang_implementation_spark.operators.triangles import _triangle_rows
 from pregel_golang_implementation_spark.plans.runner import PregelRunner
+from pregel_golang_implementation_spark.operators.coloring import greedy_coloring
+from pregel_golang_implementation_spark.operators.quantiles import exact_quantiles
+from pregel_golang_implementation_spark.operators.walks import random_walks
 from pregel_golang_implementation_spark.sources.graphs import edges_from_lineitem
 
 PART_OFFSET = 10_000_000
@@ -119,6 +122,10 @@ LP_MAX_MID_DEG = 40
 SPAN_N = 6
 SPAN_MIN_DOCS = 2
 HITS_ITERS = 3
+COLOR_ROUNDS = 3
+COLOR_INNER = 3
+QUANTILE_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
+WALK_LEN = 3
 
 
 # --------------------------------------------------------------- helpers
@@ -732,6 +739,33 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits(edges_from_lineitem(spark, sf_dir), iterations=HITS_ITERS, round_to=6)
 
 
+def q_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy coloring by iterated Luby MIS — each outer round is one
+    Pregel job on the residual graph (Vertex.go:68-88 composition);
+    vertices still uncolored after COLOR_ROUNDS surface as -1."""
+    und = symmetrize(edges_from_lineitem(spark, sf_dir))
+    return greedy_coloring(
+        spark,
+        und,
+        colors=COLOR_ROUNDS,
+        inner_rounds=COLOR_INNER,
+        make_runner=lambda spec: _runner(spark, spec),
+    )
+
+
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact type-7 quantiles of l_extendedprice — distributed selection
+    (range Exchange + per-partition windows), no global-order reducer."""
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return exact_quantiles(lineitem, "l_extendedprice", QUANTILE_QS)
+
+
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-transition walks of length 3 from every source
+    vertex — the DeepWalk-style sequence sampler (operators/walks.py)."""
+    return random_walks(edges_from_lineitem(spark, sf_dir), length=WALK_LEN)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank_5iter": q_pagerank,
@@ -789,6 +823,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_spans": q_repeated_spans,
         "last_touch": q_last_touch,
         "hits_3iter": q_hits,
+        "greedy_coloring": q_coloring,
+        "quantiles_exact": q_quantiles,
+        "random_walks": q_random_walks,
     }
 
 
@@ -1248,16 +1285,21 @@ def _pq_codes_sql(m: int, ksub: int, dim: int) -> str:
     return "WITH " + ", ".join(parts) + f" SELECT vec_id, {codes} FROM a0 {joins}"
 
 
-def _mis_priority_expr(h: str) -> str:
-    """First 12 hex chars of md5 as an exact integer-valued double —
-    digit-positional sum with power-of-16 literal weights (DuckDB has no
-    base-16 conv; every partial sum < 2^48 is exact, so this equals
-    Spark's F.conv(...,16,10) bit-for-bit)."""
+def _hash48_sql(h: str) -> str:
+    """First 12 hex chars of md5 as an exact BIGINT — digit-positional
+    sum with power-of-16 literal weights (DuckDB has no base-16 conv;
+    every partial sum < 2^48, so this equals Spark's F.conv(...,16,10)
+    bit-for-bit)."""
     terms = " + ".join(
         f"(strpos('0123456789abcdef', substr({h}, {t + 1}, 1)) - 1) * {16 ** (11 - t)}"
         for t in range(12)
     )
-    return f"CAST({terms} AS DOUBLE)"
+    return f"CAST({terms} AS BIGINT)"
+
+
+def _mis_priority_expr(h: str) -> str:
+    """The hash48 as an exact integer-valued double (MIS priorities)."""
+    return f"CAST({_hash48_sql(h)} AS DOUBLE)"
 
 
 def _mis_sql(rounds: int) -> str:
@@ -1293,6 +1335,102 @@ def _mis_sql(rounds: int) -> str:
         + f" SELECT id, CASE WHEN val < 0 THEN 'in' WHEN val >= {out} THEN 'out' "
         f"ELSE 'undecided' END AS status FROM s{rounds}"
     )
+
+
+def _coloring_sql(colors: int, inner: int) -> str:
+    """Twin of q_coloring: iterated Luby MIS unrolled.  Outer round c:
+    residual undirected edges uc{c} (both endpoints uncolored), fresh
+    state = md5 priorities over unc{c}, ``inner`` Luby rounds (the
+    _mis_sql recurrence), color c to the IN set; uncolored → -1."""
+    out = f"{float(2 ** 48)!r}"
+    pri = _mis_priority_expr("md5(id::VARCHAR)")
+    parts = [
+        _E,
+        _U,
+        _V,
+        f"p AS (SELECT id, {pri} AS pri FROM v)",
+        "unc0 AS (SELECT id FROM v)",
+    ]
+    for c in range(colors):
+        parts.append(
+            f"uc{c} AS (SELECT u.src, u.dst FROM u "
+            f"JOIN unc{c} a ON u.src = a.id JOIN unc{c} b ON u.dst = b.id)"
+        )
+        parts.append(
+            f"s{c}_0 AS (SELECT p.id, p.pri AS val FROM p "
+            f"JOIN unc{c} x ON p.id = x.id)"
+        )
+        for r in range(1, inner + 1):
+            prev = f"s{c}_{r - 1}"
+            parts.append(
+                f"m{c}_{r} AS (SELECT uc{c}.dst AS id, MIN(s.val) AS mn FROM {prev} s "
+                f"JOIN uc{c} ON s.id = uc{c}.src GROUP BY uc{c}.dst)"
+            )
+            parts.append(
+                f"s{c}_{r} AS (SELECT s.id, CASE "
+                f"WHEN s.val < 0 OR s.val >= {out} THEN s.val "
+                "WHEN m.mn IS NULL THEN -1.0 "
+                f"WHEN m.mn < 0 THEN {out} "
+                f"WHEN m.mn >= {out} THEN -1.0 "
+                "WHEN s.val < m.mn THEN -1.0 "
+                f"ELSE s.val END AS val FROM {prev} s LEFT JOIN m{c}_{r} m ON s.id = m.id)"
+            )
+        parts.append(
+            f"col{c} AS (SELECT id, CAST({c} AS BIGINT) AS color "
+            f"FROM s{c}_{inner} WHERE val < 0)"
+        )
+        parts.append(
+            f"unc{c + 1} AS (SELECT n.id FROM unc{c} n "
+            f"LEFT JOIN col{c} x ON n.id = x.id WHERE x.id IS NULL)"
+        )
+    union = " UNION ALL ".join(f"SELECT id, color FROM col{c}" for c in range(colors))
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + " "
+        + union
+        + f" UNION ALL SELECT id, CAST(-1 AS BIGINT) AS color FROM unc{colors}"
+    )
+
+
+def _quantiles_sql(qs) -> str:
+    """Twin of q_quantiles: the type-7 formula written out on explicit
+    order statistics (row_number over the sorted values) — no reliance
+    on DuckDB's quantile_cont semantics matching anything."""
+    qlist = ", ".join(f"CAST({q!r} AS DOUBLE)" for q in qs)
+    return (
+        "WITH s AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem "
+        "WHERE l_extendedprice IS NOT NULL), "
+        "r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM s), "
+        "n AS (SELECT COUNT(*) AS n FROM s), "
+        f"t AS (SELECT UNNEST([{qlist}]) AS q), "
+        "b AS (SELECT q, 1.0 + (n.n - 1) * q AS k FROM t, n), "
+        "g AS (SELECT q, CAST(FLOOR(k) AS BIGINT) AS lo, "
+        "CAST(CEIL(k) AS BIGINT) AS hi, k - FLOOR(k) AS frac FROM b) "
+        "SELECT g.q AS quantile, ROUND(rlo.v + g.frac * (rhi.v - rlo.v), 6) AS value "
+        "FROM g JOIN r rlo ON rlo.rn = g.lo JOIN r rhi ON rhi.rn = g.hi"
+    )
+
+
+def _walks_sql(length: int) -> str:
+    """Twin of q_random_walks: L unrolled transition joins; neighbor
+    rank = row_number-1 per src ordered by dst; pick = hash48(node#t)
+    mod outdeg."""
+    parts = [
+        _E,
+        "rk AS (SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 "
+        "AS rank, COUNT(*) OVER (PARTITION BY src) AS deg FROM e)",
+        "w0 AS (SELECT DISTINCT src AS start, src AS node FROM e)",
+    ]
+    selects = ["SELECT start, CAST(0 AS BIGINT) AS step, node FROM w0"]
+    for t in range(1, length + 1):
+        h = _hash48_sql(f"md5(w{t - 1}.node::VARCHAR || '#' || '{t}')")
+        parts.append(
+            f"w{t} AS (SELECT w{t - 1}.start, rk.dst AS node FROM w{t - 1} "
+            f"JOIN rk ON w{t - 1}.node = rk.src AND rk.rank = ({h}) % rk.deg)"
+        )
+        selects.append(f"SELECT start, CAST({t} AS BIGINT) AS step, node FROM w{t}")
+    return "WITH " + ", ".join(parts) + " " + " UNION ALL ".join(selects)
 
 
 def _link_predict_sql(k: int, cap: int) -> str:
@@ -1555,6 +1693,9 @@ def oracle_sql() -> dict[str, str]:
         "repeated_spans": _repeated_spans_sql(SPAN_N, SPAN_MIN_DOCS),
         "last_touch": _last_touch_sql(),
         "hits_3iter": _materialize(_hits_sql(HITS_ITERS)),
+        "greedy_coloring": _materialize(_coloring_sql(COLOR_ROUNDS, COLOR_INNER)),
+        "quantiles_exact": _quantiles_sql(QUANTILE_QS),
+        "random_walks": _materialize(_walks_sql(WALK_LEN)),
     }
 
 
