@@ -90,8 +90,12 @@ from pregel_golang_implementation_spark.operators.triangles import _triangle_row
 from pregel_golang_implementation_spark.plans.runner import PregelRunner
 from pregel_golang_implementation_spark.operators.coloring import greedy_coloring
 from pregel_golang_implementation_spark.operators.quantiles import exact_quantiles
+from pregel_golang_implementation_spark.operators.temporal import earliest_arrival_spec
 from pregel_golang_implementation_spark.operators.walks import random_walks
-from pregel_golang_implementation_spark.sources.graphs import edges_from_lineitem
+from pregel_golang_implementation_spark.sources.graphs import (
+    edges_from_lineitem,
+    temporal_edges_from_lineitem,
+)
 
 PART_OFFSET = 10_000_000
 PR_ITERS = 5
@@ -126,6 +130,7 @@ COLOR_ROUNDS = 3
 COLOR_INNER = 3
 QUANTILE_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
 WALK_LEN = 3
+TEMPORAL_ITERS = 4
 
 
 # --------------------------------------------------------------- helpers
@@ -760,6 +765,20 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_quantiles(lineitem, "l_extendedprice", QUANTILE_QS)
 
 
+def q_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earliest-arrival temporal reachability from the min orderkey over
+    order↔part contact edges timed by o_orderdate — the fifth distinct
+    vertex program on the unchanged runner (operators/temporal.py)."""
+    tedges = temporal_edges_from_lineitem(spark, sf_dir)
+    src = _sssp_source(spark, sf_dir)
+    res = _runner(spark, earliest_arrival_spec(source=src)).run(
+        tedges, max_supersteps=TEMPORAL_ITERS
+    )
+    return res.state.filter(~F.isnan("value") & (F.col("value") < 1e17)).select(
+        "id", F.col("value").alias("arrival")
+    )
+
+
 def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic md5-transition walks of length 3 from every source
     vertex — the DeepWalk-style sequence sampler (operators/walks.py)."""
@@ -826,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "greedy_coloring": q_coloring,
         "quantiles_exact": q_quantiles,
         "random_walks": q_random_walks,
+        "temporal_reach": q_temporal_reach,
     }
 
 
@@ -1433,6 +1453,44 @@ def _walks_sql(length: int) -> str:
     return "WITH " + ", ".join(parts) + " " + " UNION ALL ".join(selects)
 
 
+def _temporal_sql(iters: int) -> str:
+    """Twin of q_temporal_reach: full-relaxation rounds (idempotent
+    re-sends equal the engine's frontier runs — operators/temporal.py
+    docstring).  Edge time = epoch_us(o_orderdate), the repo's UTC
+    unix_micros parity trick."""
+    inf = "CAST('inf' AS DOUBLE)"
+    parts = [
+        "te AS (SELECT src, dst, MIN(t) AS t FROM ("
+        "SELECT l_orderkey AS src, 10000000 + l_partkey AS dst, "
+        "CAST(epoch_us(o_orderdate) AS DOUBLE) AS t "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "UNION ALL "
+        "SELECT 10000000 + l_partkey AS src, l_orderkey AS dst, "
+        "CAST(epoch_us(o_orderdate) AS DOUBLE) AS t "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        ") GROUP BY 1, 2)",
+        "tv AS (SELECT DISTINCT src AS id FROM te)",
+        "sel AS (SELECT MIN(l_orderkey) AS s FROM lineitem)",
+        f"a0 AS (SELECT id, CASE WHEN id = (SELECT s FROM sel) THEN 0.0 "
+        f"ELSE {inf} END AS val FROM tv)",
+    ]
+    for k in range(1, iters + 1):
+        prev = f"a{k - 1}"
+        parts.append(
+            f"m{k} AS (SELECT te.dst AS id, MIN(te.t) AS mn FROM {prev} a "
+            f"JOIN te ON a.id = te.src WHERE a.val <= te.t GROUP BY te.dst)"
+        )
+        parts.append(
+            f"a{k} AS (SELECT a.id, LEAST(a.val, COALESCE(m.mn, a.val)) AS val "
+            f"FROM {prev} a LEFT JOIN m{k} m ON a.id = m.id)"
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT id, val AS arrival FROM a{iters} WHERE val < 1e17"
+    )
+
+
 def _link_predict_sql(k: int, cap: int) -> str:
     """Twin of q_link_predict: wedges through middles of degree ≤ cap,
     pair counts, anti-join existing edges, mirrored per-vertex rank."""
@@ -1696,6 +1754,7 @@ def oracle_sql() -> dict[str, str]:
         "greedy_coloring": _materialize(_coloring_sql(COLOR_ROUNDS, COLOR_INNER)),
         "quantiles_exact": _quantiles_sql(QUANTILE_QS),
         "random_walks": _materialize(_walks_sql(WALK_LEN)),
+        "temporal_reach": _materialize(_temporal_sql(TEMPORAL_ITERS)),
     }
 
 

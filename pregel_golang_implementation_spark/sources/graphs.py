@@ -106,6 +106,31 @@ def edges_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def temporal_edges_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric temporal contact edges: the order↔part interaction
+    happens on the order's date.  (src, dst, weight = epoch micros of
+    o_orderdate as an exact integer-valued double — the repo's UTC
+    unix_micros/epoch_us cross-engine trick).  Per direction pair the
+    earliest contact wins (MIN), deterministic for the oracle twin."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("l_orderkey").cast("long").alias("src"),
+        (F.lit(10_000_000) + F.col("l_partkey")).cast("long").alias("dst"),
+        # parquet NTZ timestamp → session-TZ timestamp (session is pinned
+        # UTC) → micros: equals DuckDB's epoch_us on the naive value
+        F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+        .cast("double")
+        .alias("weight"),
+    )
+    rev = base.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+    )
+    return (
+        base.unionByName(rev).groupBy("src", "dst").agg(F.min("weight").alias("weight"))
+    )
+
+
 def edges_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer→order bipartite graph: src=o_custkey, dst=OFFSET+o_orderkey."""
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")

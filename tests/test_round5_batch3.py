@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from pregel_golang_implementation_spark.operators.coloring import greedy_coloring
 from pregel_golang_implementation_spark.operators.connected_components import symmetrize
 from pregel_golang_implementation_spark.operators.quantiles import exact_quantiles
+from pregel_golang_implementation_spark.operators.temporal import earliest_arrival
 from pregel_golang_implementation_spark.operators.walks import random_walks
 
 
@@ -109,6 +110,58 @@ def test_exact_quantiles_duplicates_nulls_and_sparse_partitions(spark):
 def test_exact_quantiles_empty_input(spark):
     df = spark.createDataFrame([], "v double")
     assert exact_quantiles(df, "v", [0.5]).count() == 0
+
+
+# -------------------------------------------------------------- temporal
+
+def _tedges(spark, triples):
+    return spark.createDataFrame(triples, "src long, dst long, weight double")
+
+
+def _arrivals(res):
+    import math
+
+    return {
+        r["id"]: r["value"]
+        for r in res.state.collect()
+        if not math.isinf(r["value"])
+    }
+
+
+def test_temporal_respects_time_ordering(spark):
+    # 1 -(t=5)-> 2 -(t=3)-> 3: the 2->3 contact happens BEFORE the walker
+    # reaches 2, so 3 is temporally unreachable; with t=7 it is reachable
+    res = earliest_arrival(spark, _tedges(spark, [(1, 2, 5.0), (2, 3, 3.0)]), source=1)
+    assert _arrivals(res) == {1: 0.0, 2: 5.0}
+    res = earliest_arrival(spark, _tedges(spark, [(1, 2, 5.0), (2, 3, 7.0)]), source=1)
+    assert _arrivals(res) == {1: 0.0, 2: 5.0, 3: 7.0}
+
+
+def test_temporal_takes_earliest_among_alternatives(spark):
+    # two time-respecting routes to 4: via 2 arrives at 9, via 3 at 6
+    triples = [(1, 2, 1.0), (2, 4, 9.0), (1, 3, 2.0), (3, 4, 6.0)]
+    res = earliest_arrival(spark, _tedges(spark, triples), source=1)
+    assert _arrivals(res)[4] == 6.0
+
+
+def test_temporal_later_direct_edge_loses_to_earlier_path(spark):
+    # direct 1->4 contact at t=8 vs path arriving at 6: min wins;
+    # and an improvement must re-scatter (frontier soundness): once 4
+    # improves to 6, its outgoing t=7 edge becomes usable
+    triples = [(1, 4, 8.0), (1, 3, 2.0), (3, 4, 6.0), (4, 5, 7.0)]
+    res = earliest_arrival(spark, _tedges(spark, triples), source=1)
+    arr = _arrivals(res)
+    assert arr[4] == 6.0 and arr[5] == 7.0
+
+
+def test_temporal_fixed_iters_match_converged_prefix(spark):
+    # chain with increasing times: after k supersteps exactly k hops known
+    triples = [(i, i + 1, float(i)) for i in range(1, 6)]
+    res2 = earliest_arrival(spark, _tedges(spark, triples), source=1, max_supersteps=2)
+    assert _arrivals(res2) == {1: 0.0, 2: 1.0, 3: 2.0}
+    full = earliest_arrival(spark, _tedges(spark, triples), source=1)
+    assert _arrivals(full) == {1: 0.0, 2: 1.0, 3: 2.0, 4: 3.0, 5: 4.0, 6: 5.0}
+    assert full.converged
 
 
 # ----------------------------------------------------------------- walks
