@@ -64,8 +64,15 @@ from pregel_golang_implementation_spark.operators.graph_metrics import (
 )
 from pregel_golang_implementation_spark.operators.hits import hits
 from pregel_golang_implementation_spark.operators.link_prediction import (
+    adamic_adar_topk,
     common_neighbor_topk,
 )
+from pregel_golang_implementation_spark.operators.kmeans import kmeans_assign
+from pregel_golang_implementation_spark.operators.relational import (
+    docs_cube,
+    revenue_rollup,
+)
+from pregel_golang_implementation_spark.operators.scc import scc_fwbw
 from pregel_golang_implementation_spark.operators.mis import mis_spec, mis_status
 from pregel_golang_implementation_spark.operators.quantization import pq_codes
 from pregel_golang_implementation_spark.operators.sampling import (
@@ -94,6 +101,7 @@ from pregel_golang_implementation_spark.operators.temporal import earliest_arriv
 from pregel_golang_implementation_spark.operators.walks import random_walks
 from pregel_golang_implementation_spark.sources.graphs import (
     edges_from_lineitem,
+    parity_edges_from_lineitem,
     temporal_edges_from_lineitem,
 )
 
@@ -131,6 +139,10 @@ COLOR_INNER = 3
 QUANTILE_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
 WALK_LEN = 3
 TEMPORAL_ITERS = 4
+SCC_INNER = 14
+SCC_TRIM = 2
+KMEANS_K = 8
+KMEANS_ITERS = 2
 
 
 # --------------------------------------------------------------- helpers
@@ -785,6 +797,54 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_walks(edges_from_lineitem(spark, sf_dir), length=WALK_LEN)
 
 
+def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCC of the parity-directed (cyclic) lineitem graph via trim +
+    FW/BW min-label peeling — both label passes are the engine's own
+    cc_spec BSP run over directed edges (operators/scc.py).  Parameters
+    verified convergent at every shipped SF (trim depth 1, f/b spread
+    ≤ 11 supersteps, one peel round); strict=True would raise rather
+    than return a partial labeling."""
+    return scc_fwbw(
+        spark,
+        parity_edges_from_lineitem(spark, sf_dir),
+        inner_iters=SCC_INNER,
+        trim_rounds=SCC_TRIM,
+        outer_rounds=1,
+        strict=True,
+        lineage_break_every=3,
+        steps_per_action=2,
+    )
+
+
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2 Lloyd iterations + final assignment over the embedding table,
+    seeded from vec_ids 0..7 — one broadcast-literal projection + one
+    K-key aggregate per iteration (operators/kmeans.py)."""
+    return kmeans_assign(
+        _emb(spark, sf_dir), k=KMEANS_K, iters=KMEANS_ITERS, dim=EMB_DIM
+    )
+
+
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals over (returnflag, linestatus): one Expand + one
+    tiny-key hash aggregate; decimal(38,9) sums (operators/relational.py)."""
+    return revenue_rollup(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+
+
+def q_docs_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (source, lang) of the documents table — all four
+    grouping sets in one aggregate (operators/relational.py)."""
+    return docs_cube(_docs(spark, sf_dir))
+
+
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction: per-vertex top-3 by Σ 1/ln(deg) over
+    shared neighbors, same wedge cap as link_predict; scores ranked and
+    returned at 6dp for cross-engine stability."""
+    und = symmetrize(edges_from_lineitem(spark, sf_dir))
+    return adamic_adar_topk(und, k=LP_K, max_middle_degree=LP_MAX_MID_DEG)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank_5iter": q_pagerank,
@@ -846,6 +906,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_exact": q_quantiles,
         "random_walks": q_random_walks,
         "temporal_reach": q_temporal_reach,
+        "scc_fwbw": q_scc,
+        "kmeans_2iter": q_kmeans,
+        "revenue_rollup": q_revenue_rollup,
+        "docs_cube": q_docs_cube,
+        "adamic_adar": q_adamic_adar,
     }
 
 
@@ -1563,6 +1628,138 @@ def _hits_sql(iters: int) -> str:
     )
 
 
+_PE = (
+    "pe AS (SELECT DISTINCT CASE WHEN l_linenumber % 2 = 1 THEN l_orderkey "
+    "ELSE 10000000 + l_partkey END AS src, "
+    "CASE WHEN l_linenumber % 2 = 1 THEN 10000000 + l_partkey "
+    "ELSE l_orderkey END AS dst FROM lineitem)"
+)
+
+
+def _scc_sql(inner: int, trim: int) -> str:
+    """Twin of q_scc: the same trim → f/b min-label → peel recurrence
+    unrolled — trim rounds as semi/anti joins, each label pass as the
+    _cc_sql chain over the restricted DIRECTED edge table (forward for
+    f, reversed for b), peel where f = b."""
+    parts = [_PE, "r0 AS (SELECT src AS id FROM pe UNION SELECT dst FROM pe)"]
+    for t in range(1, trim + 1):
+        p = f"r{t - 1}"
+        parts += [
+            f"er{t} AS (SELECT pe.src, pe.dst FROM pe "
+            f"JOIN {p} a ON pe.src = a.id JOIN {p} b ON pe.dst = b.id)",
+            f"r{t} AS (SELECT r.id FROM {p} r "
+            f"JOIN (SELECT DISTINCT dst AS id FROM er{t}) di ON r.id = di.id "
+            f"JOIN (SELECT DISTINCT src AS id FROM er{t}) so ON r.id = so.id)",
+            f"trim{t} AS (SELECT r.id, r.id AS scc FROM {p} r "
+            f"LEFT JOIN r{t} k ON r.id = k.id WHERE k.id IS NULL)",
+        ]
+    parts += [
+        f"fe AS (SELECT pe.src, pe.dst FROM pe "
+        f"JOIN r{trim} a ON pe.src = a.id JOIN r{trim} b ON pe.dst = b.id)",
+        f"f0 AS (SELECT id, id AS lab FROM r{trim})",
+        f"b0 AS (SELECT id, id AS lab FROM r{trim})",
+    ]
+    for k in range(1, inner + 1):
+        parts += [
+            f"fm{k} AS (SELECT fe.dst AS id, MIN(p.lab) AS m FROM f{k - 1} p "
+            f"JOIN fe ON p.id = fe.src GROUP BY fe.dst)",
+            f"f{k} AS (SELECT p.id, LEAST(p.lab, COALESCE(fm{k}.m, p.lab)) AS lab "
+            f"FROM f{k - 1} p LEFT JOIN fm{k} ON p.id = fm{k}.id)",
+            f"bm{k} AS (SELECT fe.src AS id, MIN(p.lab) AS m FROM b{k - 1} p "
+            f"JOIN fe ON p.id = fe.dst GROUP BY fe.src)",
+            f"b{k} AS (SELECT p.id, LEAST(p.lab, COALESCE(bm{k}.m, p.lab)) AS lab "
+            f"FROM b{k - 1} p LEFT JOIN bm{k} ON p.id = bm{k}.id)",
+        ]
+    trims = " UNION ALL ".join(
+        f"SELECT id, scc FROM trim{t}" for t in range(1, trim + 1)
+    )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f", peel AS (SELECT f.id, f.lab AS scc FROM f{inner} f "
+        f"JOIN b{inner} b ON f.id = b.id WHERE f.lab = b.lab) "
+        f"SELECT id, CAST(scc AS BIGINT) AS scc FROM "
+        f"({trims} UNION ALL SELECT id, scc FROM peel)"
+    )
+
+
+def _kmeans_sql(k: int, iters: int) -> str:
+    """Twin of q_kmeans: per-dimension unnest, Lloyd iterations unrolled;
+    both engines compare ROUND(dist², 6) with cluster-index tie-break and
+    round centroids to 6dp between iterations, so double-sum order can
+    never flip an assignment."""
+    parts = [
+        "pts AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos, "
+        "CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cl, pos, ROUND(v, 6) AS v FROM pts "
+        f"WHERE vec_id < {k})",
+    ]
+    for i in range(1, iters + 1):
+        parts += [
+            f"d{i} AS (SELECT p.vec_id, c.cl, "
+            f"ROUND(SUM((p.v - c.v) * (p.v - c.v)), 6) AS d "
+            f"FROM pts p JOIN c{i - 1} c ON p.pos = c.pos GROUP BY 1, 2)",
+            f"a{i} AS (SELECT vec_id, cl FROM (SELECT vec_id, cl, ROW_NUMBER() "
+            f"OVER (PARTITION BY vec_id ORDER BY d ASC, cl ASC) AS rn FROM d{i}) "
+            f"WHERE rn = 1)",
+            f"m{i} AS (SELECT a.cl, p.pos, ROUND(AVG(p.v), 6) AS v FROM a{i} a "
+            f"JOIN pts p ON a.vec_id = p.vec_id GROUP BY 1, 2)",
+            f"c{i} AS (SELECT c.cl, c.pos, COALESCE(m.v, c.v) AS v FROM c{i - 1} c "
+            f"LEFT JOIN m{i} m ON c.cl = m.cl AND c.pos = m.pos)",
+        ]
+    parts += [
+        f"df AS (SELECT p.vec_id, c.cl, "
+        f"ROUND(SUM((p.v - c.v) * (p.v - c.v)), 6) AS d "
+        f"FROM pts p JOIN c{iters} c ON p.pos = c.pos GROUP BY 1, 2)",
+        "af AS (SELECT vec_id, cl FROM (SELECT vec_id, cl, ROW_NUMBER() OVER "
+        "(PARTITION BY vec_id ORDER BY d ASC, cl ASC) AS rn FROM df) WHERE rn = 1)",
+    ]
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + " SELECT vec_id, CAST(cl AS BIGINT) AS cluster FROM af"
+    )
+
+
+_ROLLUP_SQL = (
+    "SELECT COALESCE(l_returnflag, 'ALL') AS return_flag, "
+    "COALESCE(l_linestatus, 'ALL') AS line_status, "
+    "COUNT(*) AS n_items, "
+    "CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,9))), 6) AS DOUBLE) AS sum_qty, "
+    "CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,9))), 6) "
+    "AS DOUBLE) AS revenue "
+    "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+)
+
+_DOCS_CUBE_SQL = (
+    "SELECT COALESCE(source, 'ALL') AS source, COALESCE(lang, 'ALL') AS lang, "
+    "COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars "
+    "FROM documents GROUP BY CUBE(source, lang)"
+)
+
+
+def _adamic_adar_sql(k: int, cap: int) -> str:
+    """Twin of q_adamic_adar: _link_predict_sql with the middle carrying
+    weight 1/ln(deg); scores rounded to 6dp BEFORE ranking in both
+    engines (tie → smaller candidate)."""
+    return (
+        f"WITH {_E}, {_U}, "
+        "deg AS (SELECT src, COUNT(*) AS d FROM u GROUP BY 1), "
+        f"em AS (SELECT u.src, u.dst, 1.0 / ln(deg.d) AS w FROM u "
+        f"JOIN deg ON u.src = deg.src WHERE deg.d <= {cap} AND deg.d >= 2), "
+        "pr AS (SELECT l.dst AS a, r.dst AS b, l.w FROM em l JOIN em r "
+        "ON l.src = r.src WHERE l.dst < r.dst), "
+        "sc AS (SELECT a, b, ROUND(SUM(w), 6) AS score FROM pr GROUP BY 1, 2), "
+        "ne AS (SELECT sc.a, sc.b, sc.score FROM sc LEFT JOIN u "
+        "ON sc.a = u.src AND sc.b = u.dst WHERE u.src IS NULL), "
+        "mr AS (SELECT a AS id, b AS candidate, score FROM ne "
+        "UNION ALL SELECT b AS id, a AS candidate, score FROM ne), "
+        "r AS (SELECT id, candidate, score, ROW_NUMBER() OVER "
+        "(PARTITION BY id ORDER BY score DESC, candidate ASC) AS rank FROM mr) "
+        f"SELECT id, candidate, score, rank::BIGINT AS rank FROM r WHERE rank <= {k}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "pagerank_5iter": _pagerank_sql(PR_ITERS),
@@ -1755,6 +1952,11 @@ def oracle_sql() -> dict[str, str]:
         "quantiles_exact": _quantiles_sql(QUANTILE_QS),
         "random_walks": _materialize(_walks_sql(WALK_LEN)),
         "temporal_reach": _materialize(_temporal_sql(TEMPORAL_ITERS)),
+        "scc_fwbw": _materialize(_scc_sql(SCC_INNER, SCC_TRIM)),
+        "kmeans_2iter": _materialize(_kmeans_sql(KMEANS_K, KMEANS_ITERS)),
+        "revenue_rollup": _ROLLUP_SQL,
+        "docs_cube": _DOCS_CUBE_SQL,
+        "adamic_adar": _materialize(_adamic_adar_sql(LP_K, LP_MAX_MID_DEG)),
     }
 
 

@@ -28,6 +28,75 @@ from pyspark.sql import functions as F
 log = logging.getLogger(__name__)
 
 
+def adamic_adar_topk(
+    und_edges: DataFrame,
+    k: int = 3,
+    max_middle_degree: int | None = 100,
+) -> DataFrame:
+    """(id, candidate, score, rank) — Adamic–Adar link prediction: rank
+    non-adjacent pairs by Σ_m 1/ln(deg(m)) over shared neighbors m, so
+    rare shared neighbors count more than promiscuous ones (Adamic &
+    Adar 2003).  Same wedge generation, middle-degree stop-word cut, and
+    per-vertex top-k as ``common_neighbor_topk``; every wedge middle has
+    deg ≥ 2, so ln(deg) > 0 always.
+
+    Determinism: the per-pair score is a double sum whose partition
+    order is not fixed, so ranking compares ROUND(score, 6) (ties →
+    smaller candidate id) and the returned score is the same rounded
+    value — last-ulp drift can never flip the hash-compared rank.
+    """
+    e = und_edges.select("src", "dst")
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+    if max_middle_degree is not None:
+        dropped = deg.filter(F.col("_d") > max_middle_degree).count()
+        if dropped:
+            log.warning(
+                "adamic_adar_topk: %d middle vertices above degree cap %d "
+                "excluded from wedge generation",
+                dropped,
+                max_middle_degree,
+            )
+        mid_deg = deg.filter(F.col("_d") <= max_middle_degree)
+    else:
+        mid_deg = deg
+    # each eligible middle carries its Adamic–Adar weight into the wedge;
+    # degree-1 middles can't form a wedge anyway and would make ln(deg)=0
+    # a hard ANSI divide-by-zero in this projection, so cut them first
+    e_mid = (
+        e.join(mid_deg.filter(F.col("_d") >= 2), "src")
+        .withColumn("_w", F.lit(1.0) / F.log(F.col("_d").cast("double")))
+    )
+    pairs = (
+        e_mid.alias("l")
+        .join(e_mid.alias("r"), F.col("l.src") == F.col("r.src"))
+        .filter(F.col("l.dst") < F.col("r.dst"))
+        .select(F.col("l.dst").alias("a"), F.col("r.dst").alias("b"), F.col("l._w"))
+    )
+    scored = pairs.groupBy("a", "b").agg(
+        F.round(F.sum("_w"), 6).alias("score")
+    )
+    non_edges = scored.join(
+        e.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    mirrored = non_edges.select(
+        F.col("a").alias("id"), F.col("b").alias("candidate"), "score"
+    ).unionByName(
+        non_edges.select(
+            F.col("b").alias("id"), F.col("a").alias("candidate"), "score"
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("candidate"))
+    return (
+        mirrored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "id", "candidate", "score", F.col("rank").cast("long").alias("rank")
+        )
+    )
+
+
 def common_neighbor_topk(
     und_edges: DataFrame,
     k: int = 3,

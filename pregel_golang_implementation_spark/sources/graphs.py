@@ -106,6 +106,28 @@ def edges_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def parity_edges_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CYCLIC directed graph from lineitem: odd line numbers point
+    order→part, even line numbers point part→order, so the bipartite
+    structure closes real directed cycles (an order with both an odd and
+    an even line participates in one).  The plain order→part derivation
+    (``edges_from_lineitem``) is acyclic by construction — every SCC is
+    a singleton — so directed-reachability operators (SCC) need this
+    view.  Distinct, unweighted + weight=1.0, DuckDB-expressible."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    odd = F.col("l_linenumber") % 2 == 1
+    part = (F.lit(10_000_000) + F.col("l_partkey")).cast("long")
+    okey = F.col("l_orderkey").cast("long")
+    return (
+        li.select(
+            F.when(odd, okey).otherwise(part).alias("src"),
+            F.when(odd, part).otherwise(okey).alias("dst"),
+        )
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+
+
 def temporal_edges_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric temporal contact edges: the order↔part interaction
     happens on the order's date.  (src, dst, weight = epoch micros of
