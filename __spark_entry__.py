@@ -73,6 +73,10 @@ from pregel_golang_implementation_spark.operators.relational import (
     revenue_rollup,
 )
 from pregel_golang_implementation_spark.operators.scc import scc_fwbw
+from pregel_golang_implementation_spark.operators.bfs import harmonic_centrality
+from pregel_golang_implementation_spark.operators.projection import (
+    cooccurrence_topk,
+)
 from pregel_golang_implementation_spark.operators.mis import mis_spec, mis_status
 from pregel_golang_implementation_spark.operators.quantization import pq_codes
 from pregel_golang_implementation_spark.operators.sampling import (
@@ -143,6 +147,9 @@ SCC_INNER = 14
 SCC_TRIM = 2
 KMEANS_K = 8
 KMEANS_ITERS = 2
+HARMONIC_PIVOTS = 4
+HARMONIC_HOPS = 4
+COPURCHASE_MAX_BASKET = 40
 
 
 # --------------------------------------------------------------- helpers
@@ -845,6 +852,37 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adamic_adar_topk(und, k=LP_K, max_middle_degree=LP_MAX_MID_DEG)
 
 
+def q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled harmonic centrality: Σ 1/d over the 4 smallest orderkey
+    pivots within 4 hops, via one multi-source BFS (operators/bfs.py) —
+    all pivots share each frontier expansion's edge scan."""
+    und = symmetrize(edges_from_lineitem(spark, sf_dir))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pivots = [
+        r[0]
+        for r in li.select(F.col("l_orderkey").cast("long"))
+        .distinct()
+        .orderBy("l_orderkey")
+        .limit(HARMONIC_PIVOTS)
+        .collect()
+    ]
+    return harmonic_centrality(und, pivots, hops=HARMONIC_HOPS)
+
+
+def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite projection of the order↔part membership into a part
+    co-purchase graph, per-part top-3 by shared orders; basket-size
+    stop-word cut at 40 (operators/projection.py)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    membership = li.select(
+        F.col("l_partkey").cast("long").alias("entity"),
+        F.col("l_orderkey").cast("long").alias("container"),
+    ).distinct()
+    return cooccurrence_topk(
+        membership, k=LP_K, max_container_size=COPURCHASE_MAX_BASKET
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank_5iter": q_pagerank,
@@ -911,6 +949,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_rollup": q_revenue_rollup,
         "docs_cube": q_docs_cube,
         "adamic_adar": q_adamic_adar,
+        "harmonic_4src": q_harmonic,
+        "copurchase_topk": q_copurchase,
     }
 
 
@@ -1760,6 +1800,56 @@ def _adamic_adar_sql(k: int, cap: int) -> str:
     )
 
 
+def _harmonic_sql(pivots: int, hops: int) -> str:
+    """Twin of q_harmonic: multi-source BFS layers unrolled — each hop
+    expands only the newest frontier, anti-joins the accumulated
+    distance table, then Σ 1/d per vertex at the end."""
+    parts = [
+        _E,
+        _U,
+        f"pvt AS (SELECT l_orderkey AS pv FROM (SELECT DISTINCT l_orderkey "
+        f"FROM lineitem ORDER BY 1 LIMIT {pivots}))",
+        "d0 AS (SELECT pv AS id, pv, 0 AS dist FROM pvt)",
+        "fr0 AS (SELECT id, pv, dist FROM d0)",
+    ]
+    for h in range(1, hops + 1):
+        parts += [
+            f"rh{h} AS (SELECT DISTINCT u.dst AS id, f.pv, {h} AS dist "
+            f"FROM fr{h - 1} f JOIN u ON f.id = u.src)",
+            f"fr{h} AS (SELECT r.id, r.pv, r.dist FROM rh{h} r "
+            f"LEFT JOIN d{h - 1} d ON r.id = d.id AND r.pv = d.pv "
+            f"WHERE d.id IS NULL)",
+            f"d{h} AS (SELECT * FROM d{h - 1} UNION ALL SELECT * FROM fr{h})",
+        ]
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT id, ROUND(SUM(1.0 / dist), 6) AS harmonic FROM d{hops} "
+        f"WHERE dist > 0 GROUP BY id"
+    )
+
+
+def _copurchase_sql(k: int, cap: int) -> str:
+    """Twin of q_copurchase: distinct membership, basket-size cap,
+    container self-join pairs, mirrored per-entity rank."""
+    return (
+        "WITH mb AS (SELECT DISTINCT l_partkey AS entity, l_orderkey AS "
+        "container FROM lineitem), "
+        "sz AS (SELECT container, COUNT(*) AS n FROM mb GROUP BY 1), "
+        f"mc AS (SELECT mb.entity, mb.container FROM mb JOIN sz "
+        f"ON mb.container = sz.container WHERE sz.n <= {cap}), "
+        "pr AS (SELECT l.entity AS a, r.entity AS b FROM mc l JOIN mc r "
+        "ON l.container = r.container WHERE l.entity < r.entity), "
+        "ct AS (SELECT a, b, COUNT(*) AS n_shared FROM pr GROUP BY 1, 2), "
+        "mr AS (SELECT a AS id, b AS candidate, n_shared FROM ct "
+        "UNION ALL SELECT b AS id, a AS candidate, n_shared FROM ct), "
+        "r AS (SELECT id, candidate, n_shared, ROW_NUMBER() OVER "
+        "(PARTITION BY id ORDER BY n_shared DESC, candidate ASC) AS rank FROM mr) "
+        f"SELECT id, candidate, n_shared, rank::BIGINT AS rank FROM r "
+        f"WHERE rank <= {k}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "pagerank_5iter": _pagerank_sql(PR_ITERS),
@@ -1957,6 +2047,12 @@ def oracle_sql() -> dict[str, str]:
         "revenue_rollup": _ROLLUP_SQL,
         "docs_cube": _DOCS_CUBE_SQL,
         "adamic_adar": _materialize(_adamic_adar_sql(LP_K, LP_MAX_MID_DEG)),
+        "harmonic_4src": _materialize(
+            _harmonic_sql(HARMONIC_PIVOTS, HARMONIC_HOPS)
+        ),
+        "copurchase_topk": _materialize(
+            _copurchase_sql(LP_K, COPURCHASE_MAX_BASKET)
+        ),
     }
 
 

@@ -1,0 +1,75 @@
+"""Round-5 batch 5: multi-source BFS / harmonic centrality, bipartite
+co-occurrence projection."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pregel_golang_implementation_spark.operators.bfs import (
+    harmonic_centrality,
+    msbfs_distances,
+)
+from pregel_golang_implementation_spark.operators.connected_components import symmetrize
+from pregel_golang_implementation_spark.operators.projection import cooccurrence_topk
+
+
+def _und(spark, pairs):
+    return symmetrize(spark.createDataFrame(pairs, "src long, dst long"))
+
+
+def test_msbfs_path_graph_layers(spark):
+    # path 1-2-3-4-5, pivots {1, 5}, 2 hops
+    und = _und(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    d = {
+        (r["id"], r["pivot"]): r["dist"]
+        for r in msbfs_distances(und, [1, 5], hops=2).collect()
+    }
+    assert d[(1, 1)] == 0 and d[(2, 1)] == 1 and d[(3, 1)] == 2
+    assert (4, 1) not in d  # beyond hop budget
+    assert d[(3, 5)] == 2 and d[(4, 5)] == 1 and d[(5, 5)] == 0
+
+
+def test_msbfs_shortest_wins_over_longer_path(spark):
+    # triangle 1-2-3 plus chain 3-4: dist(1→3) must be 1 (direct), not 2
+    und = _und(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+    d = {
+        (r["id"], r["pivot"]): r["dist"]
+        for r in msbfs_distances(und, [1], hops=3).collect()
+    }
+    assert d[(3, 1)] == 1 and d[(4, 1)] == 2
+
+
+def test_harmonic_star_center_highest(spark):
+    # star: center 0 with leaves 1..4; pivots = two leaves
+    und = _und(spark, [(0, i) for i in range(1, 5)])
+    h = {
+        r["id"]: r["harmonic"]
+        for r in harmonic_centrality(und, [1, 2], hops=3).collect()
+    }
+    # center: dist 1 from both pivots → 2.0; other leaves: 2+2 → 1.0;
+    # pivots see each other at dist 2 → 0.5
+    assert h[0] == 2.0
+    assert h[3] == 1.0 and h[4] == 1.0
+    assert h[1] == 0.5 and h[2] == 0.5
+
+
+def _mem(spark, rows):
+    return spark.createDataFrame(rows, "entity long, container long")
+
+
+def test_cooccurrence_counts_and_ties(spark):
+    rows = [(1, 10), (2, 10), (3, 10), (1, 20), (2, 20)]
+    out = cooccurrence_topk(_mem(spark, rows), k=2, max_container_size=None)
+    got = {(r["id"], r["candidate"]): (r["n_shared"], r["rank"]) for r in out.collect()}
+    assert got[(1, 2)] == (2, 1)  # two shared containers
+    assert got[(1, 3)] == (1, 2)
+    assert got[(3, 1)] == (1, 1)  # tie 1 vs 2 broken by smaller candidate
+    assert got[(3, 2)] == (1, 2)
+
+
+def test_cooccurrence_cap_drops_megabasket(spark):
+    mega = [(e, 99) for e in range(10)]  # container of size 10
+    rows = [(1, 10), (2, 10)] + mega
+    out = cooccurrence_topk(_mem(spark, rows), k=3, max_container_size=5)
+    got = {(r["id"], r["candidate"]) for r in out.collect()}
+    assert got == {(1, 2), (2, 1)}  # only the small basket contributes
