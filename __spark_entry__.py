@@ -77,6 +77,7 @@ from pregel_golang_implementation_spark.operators.bfs import harmonic_centrality
 from pregel_golang_implementation_spark.operators.projection import (
     cooccurrence_topk,
 )
+from pregel_golang_implementation_spark.operators.packing import pack_sequences
 from pregel_golang_implementation_spark.operators.mis import mis_spec, mis_status
 from pregel_golang_implementation_spark.operators.quantization import pq_codes
 from pregel_golang_implementation_spark.operators.sampling import (
@@ -150,6 +151,7 @@ KMEANS_ITERS = 2
 HARMONIC_PIVOTS = 4
 HARMONIC_HOPS = 4
 COPURCHASE_MAX_BASKET = 40
+PACK_CAPACITY = 2048
 
 
 # --------------------------------------------------------------- helpers
@@ -883,6 +885,17 @@ def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: where each document lands in the
+    capacity-2048 packed token stream (tokens ≈ n_chars), via the
+    distributed two-phase prefix sum (operators/packing.py) — one range
+    Exchange + parallel per-partition windows, no global-order reducer."""
+    return pack_sequences(
+        _docs(spark, sf_dir).select("doc_id", F.col("n_chars").alias("tokens")),
+        capacity=PACK_CAPACITY,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank_5iter": q_pagerank,
@@ -951,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adamic_adar": q_adamic_adar,
         "harmonic_4src": q_harmonic,
         "copurchase_topk": q_copurchase,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1850,6 +1864,25 @@ def _copurchase_sql(k: int, cap: int) -> str:
     )
 
 
+def _pack_sql(capacity: int) -> str:
+    """Twin of q_pack_sequences: the same (md5(doc_id), doc_id) order,
+    exclusive running token sum, and integer chop arithmetic — expressed
+    as one window cumsum (the oracle can afford the global-order window
+    the engine's two-phase prefix sum exists to avoid)."""
+    return (
+        "WITH t AS (SELECT doc_id, n_chars AS tokens, "
+        "md5(CAST(doc_id AS VARCHAR)) AS h FROM documents WHERE n_chars > 0), "
+        "c AS (SELECT doc_id, tokens, COALESCE(SUM(tokens) OVER "
+        "(ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), "
+        "0) AS st FROM t) "
+        "SELECT doc_id, CAST(st AS BIGINT) AS start_token, "
+        f"CAST(st // {capacity} AS BIGINT) AS first_seq, "
+        f"CAST((st + tokens - 1) // {capacity} AS BIGINT) AS last_seq, "
+        f"CAST((st + tokens - 1) // {capacity} - st // {capacity} + 1 AS BIGINT) "
+        "AS n_seqs FROM c"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "pagerank_5iter": _pagerank_sql(PR_ITERS),
@@ -2053,6 +2086,7 @@ def oracle_sql() -> dict[str, str]:
         "copurchase_topk": _materialize(
             _copurchase_sql(LP_K, COPURCHASE_MAX_BASKET)
         ),
+        "pack_sequences": _pack_sql(PACK_CAPACITY),
     }
 
 
