@@ -128,3 +128,63 @@ def test_streaming_sessionize_gap_and_timeout(spark, tmp_path):
     assert (1, ep("2026-01-01 01:00:00"), ep("2026-01-01 01:00:00"), 1, 4.0) in got
     # no duplicate emission of the first session
     assert len([g for g in got if g[0] == 1]) == 2
+
+
+def test_upsert_gold_stats_merges_and_is_idempotent(spark, tmp_path):
+    from pregel_golang_implementation_spark.streaming.ingest import upsert_gold_stats
+
+    src = str(tmp_path / "gold_events")
+    table = str(tmp_path / "gold_table")
+    ck = str(tmp_path / "gold_ck")
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType(), False),
+            T.StructField("event_type", T.StringType(), False),
+            T.StructField("value", T.DoubleType(), False),
+        ]
+    )
+
+    def write(rows, mode):
+        spark.createDataFrame(
+            rows, "ts string, event_type string, value double"
+        ).select(F.col("ts").cast("timestamp"), "event_type", "value").write.mode(
+            mode
+        ).parquet(src)
+
+    write(
+        [
+            ("2026-01-01 00:01:00", "view", 1.0),
+            ("2026-01-01 00:02:00", "view", 2.0),
+            ("2026-01-01 00:01:30", "click", 5.0),
+        ],
+        "overwrite",
+    )
+    q = upsert_gold_stats(
+        spark, src, schema, table, ck, window="5 minutes", watermark="5 minutes"
+    )
+    q.processAllAvailable()
+    # same window updated by a later batch: count/total must be MERGED
+    # (replaced), not duplicated
+    write([("2026-01-01 00:03:00", "view", 4.0)], "append")
+    q.processAllAvailable()
+    q.stop()
+    import os
+
+    got = {
+        (r["event_type"],): (r["n"], r["total_value"])
+        for r in spark.read.parquet(os.path.join(table, "data")).collect()
+    }
+    assert got[("view",)] == (3, 7.0)
+    assert got[("click",)] == (1, 5.0)
+
+    # restarting from the same checkpoint must not re-apply anything
+    q2 = upsert_gold_stats(
+        spark, src, schema, table, ck, window="5 minutes", watermark="5 minutes"
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    again = {
+        (r["event_type"],): (r["n"], r["total_value"])
+        for r in spark.read.parquet(os.path.join(table, "data")).collect()
+    }
+    assert again == got
