@@ -152,6 +152,7 @@ HARMONIC_PIVOTS = 4
 HARMONIC_HOPS = 4
 COPURCHASE_MAX_BASKET = 40
 PACK_CAPACITY = 2048
+QUALITY_CUT_Q = 0.9
 
 
 # --------------------------------------------------------------- helpers
@@ -885,6 +886,19 @@ def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-selection composition: keep documents at or above the
+    corpus P90 of stopword_ratio — exact_quantiles picks the cutoff
+    (distributed selection, one scalar to the driver), the filter is a
+    scan-pushed predicate.  The stated purpose of the quantile operator
+    (quantiles.py docstring), now under the driver gate end-to-end."""
+    qdf = quality_score(_docs(spark, sf_dir))
+    thr = exact_quantiles(qdf, "stopword_ratio", [QUALITY_CUT_Q]).first()["value"]
+    return qdf.filter(F.col("stopword_ratio") >= F.lit(thr)).select(
+        "doc_id", "stopword_ratio"
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing: where each document lands in the
     capacity-2048 packed token stream (tokens ≈ n_chars), via the
@@ -965,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_4src": q_harmonic,
         "copurchase_topk": q_copurchase,
         "pack_sequences": q_pack_sequences,
+        "quality_p90_cut": q_quality_p90,
     }
 
 
@@ -2087,6 +2102,7 @@ def oracle_sql() -> dict[str, str]:
             _copurchase_sql(LP_K, COPURCHASE_MAX_BASKET)
         ),
         "pack_sequences": _pack_sql(PACK_CAPACITY),
+        "quality_p90_cut": _materialize(_quality_p90_sql(QUALITY_CUT_Q)),
     }
 
 
@@ -2129,13 +2145,15 @@ def _embedding_near_dups_sql(threshold: float) -> str:
     )
 
 
-def _quality_sql() -> str:
+def _quality_base_sql() -> str:
+    """The t→base CTE chain shared by _quality_sql and the P90-threshold
+    composition oracle: per-doc stopword/length/alnum/dup-line signals."""
     from pregel_golang_implementation_spark.operators.textstats import LANG_MARKERS
 
     stop = sorted({w for ws in LANG_MARKERS.values() for w in ws})
     stop_list = ", ".join(f"'{w}'" for w in stop)
     return (
-        "WITH t AS (SELECT doc_id, text, "
+        "t AS (SELECT doc_id, text, "
         "regexp_split_to_array(trim(lower(text)), '\\s+') AS w, "
         "list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS ln FROM documents), "
         "base AS (SELECT doc_id, "
@@ -2144,7 +2162,13 @@ def _quality_sql() -> str:
         "CAST(ROUND(length(regexp_replace(text, '[^\\p{L}\\p{N}]', '', 'g')) / GREATEST(length(text), 1), 6) AS DOUBLE) AS alnum_ratio, "
         "CAST(CASE WHEN len(ln) > 0 THEN ROUND(1.0 - len(list_distinct(ln)) / len(ln), 6) "
         "ELSE 0.0 END AS DOUBLE) AS dup_line_frac "
-        "FROM t), "
+        "FROM t)"
+    )
+
+
+def _quality_sql() -> str:
+    return (
+        f"WITH {_quality_base_sql()}, "
         "bgl AS (SELECT doc_id, CASE WHEN len(w) >= 2 THEN "
         "[w[i] || ' ' || w[i+1] for i in generate_series(1, len(w) - 1)] "
         "ELSE [] END AS bgs FROM t), "
@@ -2157,6 +2181,27 @@ def _quality_sql() -> str:
         "CAST(mean_token_len >= 2 AND mean_token_len <= 12 AND alnum_ratio >= 0.5 "
         "AND dup_line_frac <= 0.3 AND COALESCE(top_bigram_frac, 0.0) <= 0.2 AS INT) AS quality "
         "FROM base LEFT JOIN tb ON base.doc_id = tb.doc_id"
+    )
+
+
+def _quality_p90_sql(q: float) -> str:
+    """Twin of q_quality_p90: the quality base signals + the type-7
+    quantile formula (explicit order statistics, as _quantiles_sql) on
+    stopword_ratio, then the ≥-threshold filter — the 'keep documents
+    above the corpus P-th percentile' composition the quantile operator
+    exists for."""
+    return (
+        f"WITH {_quality_base_sql()}, "
+        "s AS (SELECT stopword_ratio AS v FROM base), "
+        "r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM s), "
+        "n AS (SELECT COUNT(*) AS n FROM s), "
+        f"b AS (SELECT 1.0 + (n.n - 1) * CAST({q!r} AS DOUBLE) AS k FROM n), "
+        "g AS (SELECT CAST(FLOOR(k) AS BIGINT) AS lo, CAST(CEIL(k) AS BIGINT) "
+        "AS hi, k - FLOOR(k) AS frac FROM b), "
+        "thr AS (SELECT ROUND(rlo.v + g.frac * (rhi.v - rlo.v), 6) AS t "
+        "FROM g JOIN r rlo ON rlo.rn = g.lo JOIN r rhi ON rhi.rn = g.hi) "
+        "SELECT doc_id, stopword_ratio FROM base "
+        "WHERE stopword_ratio >= (SELECT t FROM thr)"
     )
 
 
