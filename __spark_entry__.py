@@ -78,6 +78,9 @@ from pregel_golang_implementation_spark.operators.projection import (
     cooccurrence_topk,
 )
 from pregel_golang_implementation_spark.operators.packing import pack_sequences
+from pregel_golang_implementation_spark.operators.betweenness import (
+    betweenness_sampled,
+)
 from pregel_golang_implementation_spark.operators.mis import mis_spec, mis_status
 from pregel_golang_implementation_spark.operators.quantization import pq_codes
 from pregel_golang_implementation_spark.operators.sampling import (
@@ -153,6 +156,8 @@ HARMONIC_HOPS = 4
 COPURCHASE_MAX_BASKET = 40
 PACK_CAPACITY = 2048
 QUALITY_CUT_Q = 0.9
+BETWEEN_PIVOTS = 2
+BETWEEN_HOPS = 4
 
 
 # --------------------------------------------------------------- helpers
@@ -886,6 +891,24 @@ def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled betweenness (Brandes from the 2 smallest orderkey pivots,
+    4 hops): BFS-layer σ path counts forward, δ dependency accumulation
+    backward — each phase one join + one keyed sum per layer, all pivots
+    sharing every scan (operators/betweenness.py)."""
+    und = symmetrize(edges_from_lineitem(spark, sf_dir))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pivots = [
+        r[0]
+        for r in li.select(F.col("l_orderkey").cast("long"))
+        .distinct()
+        .orderBy("l_orderkey")
+        .limit(BETWEEN_PIVOTS)
+        .collect()
+    ]
+    return betweenness_sampled(und, pivots, hops=BETWEEN_HOPS)
+
+
 def q_quality_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold-selection composition: keep documents at or above the
     corpus P90 of stopword_ratio — exact_quantiles picks the cutoff
@@ -980,6 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_topk": q_copurchase,
         "pack_sequences": q_pack_sequences,
         "quality_p90_cut": q_quality_p90,
+        "betweenness_2src": q_betweenness,
     }
 
 
@@ -1898,6 +1922,58 @@ def _pack_sql(capacity: int) -> str:
     )
 
 
+def _betweenness_sql(pivots: int, hops: int) -> str:
+    """Twin of q_betweenness: Brandes forward (σ path counts by BFS
+    layer) and backward (δ dependency accumulation) unrolled per layer —
+    the same recurrence as operators/betweenness.py, expressed as
+    chained CTEs."""
+    parts = [
+        _E,
+        _U,
+        f"pvt AS (SELECT l_orderkey AS pv FROM (SELECT DISTINCT l_orderkey "
+        f"FROM lineitem ORDER BY 1 LIMIT {pivots}))",
+        "s0 AS (SELECT pv AS id, pv, CAST(1 AS BIGINT) AS sigma FROM pvt)",
+        "acc0 AS (SELECT id, pv FROM s0)",
+    ]
+    for h in range(1, hops + 1):
+        parts += [
+            f"cand{h} AS (SELECT u.dst AS id, f.pv, SUM(f.sigma) AS sigma "
+            f"FROM s{h - 1} f JOIN u ON f.id = u.src GROUP BY 1, 2)",
+            f"s{h} AS (SELECT c.id, c.pv, CAST(c.sigma AS BIGINT) AS sigma "
+            f"FROM cand{h} c LEFT JOIN acc{h - 1} a ON c.id = a.id "
+            f"AND c.pv = a.pv WHERE a.id IS NULL)",
+            f"acc{h} AS (SELECT id, pv FROM acc{h - 1} "
+            f"UNION ALL SELECT id, pv FROM s{h})",
+        ]
+    parts.append(
+        f"fin{hops} AS (SELECT id, pv, sigma, 0.0 AS delta FROM s{hops})"
+    )
+    for h in range(hops, 0, -1):
+        parts.append(
+            f"del{h - 1} AS (SELECT p.id, p.pv, "
+            f"SUM(CAST(p.sigma AS DOUBLE) / CAST(f.sigma AS DOUBLE) "
+            f"* (1.0 + f.delta)) AS delta "
+            f"FROM fin{h} f JOIN u ON f.id = u.dst "
+            f"JOIN s{h - 1} p ON p.id = u.src AND p.pv = f.pv GROUP BY 1, 2)"
+        )
+        if h > 1:
+            parts.append(
+                f"fin{h - 1} AS (SELECT l.id, l.pv, l.sigma, "
+                f"COALESCE(d.delta, 0.0) AS delta FROM s{h - 1} l "
+                f"LEFT JOIN del{h - 1} d ON l.id = d.id AND l.pv = d.pv)"
+            )
+    union = " UNION ALL ".join(
+        f"SELECT id, pv, delta FROM fin{h}" for h in range(1, hops + 1)
+    )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f", pp AS ({union}) "
+        "SELECT id, ROUND(SUM(delta), 6) AS betweenness FROM pp "
+        "WHERE id <> pv GROUP BY id HAVING ROUND(SUM(delta), 6) > 0"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "pagerank_5iter": _pagerank_sql(PR_ITERS),
@@ -2103,6 +2179,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pack_sequences": _pack_sql(PACK_CAPACITY),
         "quality_p90_cut": _materialize(_quality_p90_sql(QUALITY_CUT_Q)),
+        "betweenness_2src": _materialize(
+            _betweenness_sql(BETWEEN_PIVOTS, BETWEEN_HOPS)
+        ),
     }
 
 
