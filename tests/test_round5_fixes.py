@@ -162,7 +162,18 @@ def test_near_dup_clusters_unpersists_bands_on_failure(spark, monkeypatch):
     docs = _mk_docs(
         spark, [(i, f"some text body {i} repeated words here") for i in range(20)]
     )
-    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    # compare RDD ID SETS, not counts: the async ContextCleaner may drop
+    # unrelated stale entries (e.g. lazy localCheckpoints from earlier
+    # tests in the shared session) between the two reads, which made a
+    # size-equality assert flaky in full-suite runs — a leak means a NEW
+    # id that survives the failure, regardless of what else got cleaned
+    def _ids():
+        return {
+            int(k)
+            for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+        }
+
+    before = _ids()
 
     def boom(*a, **k):
         raise RuntimeError("injected failure")
@@ -170,8 +181,8 @@ def test_near_dup_clusters_unpersists_bands_on_failure(spark, monkeypatch):
     monkeypatch.setattr(dedup, "lsh_candidate_pairs", boom)
     with pytest.raises(RuntimeError, match="injected failure"):
         dedup.near_dup_clusters(docs, max_bucket_size=10)
-    after = spark.sparkContext._jsc.getPersistentRDDs().size()
-    assert after == before, "bands cache leaked on the failure path"
+    leaked = _ids() - before
+    assert not leaked, f"bands cache leaked on the failure path: {leaked}"
 
 
 def test_near_dup_clusters_still_resolves(spark):
