@@ -81,6 +81,7 @@ from pregel_golang_implementation_spark.operators.packing import pack_sequences
 from pregel_golang_implementation_spark.operators.betweenness import (
     betweenness_sampled,
 )
+from pregel_golang_implementation_spark.operators.sketches import hll_distinct
 from pregel_golang_implementation_spark.operators.mis import mis_spec, mis_status
 from pregel_golang_implementation_spark.operators.quantization import pq_codes
 from pregel_golang_implementation_spark.operators.sampling import (
@@ -891,6 +892,15 @@ def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog estimate of the corpus' distinct
+    3-gram shingle count — one scan + one 256-key aggregate, NO distinct
+    shuffle; identical registers and estimate in any engine
+    (operators/sketches.py)."""
+    sh = word_shingles(_docs(spark, sf_dir), n=3)
+    return hll_distinct(sh, "shingle")
+
+
 def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled betweenness (Brandes from the 2 smallest orderkey pivots,
     4 hops): BFS-layer σ path counts forward, δ dependency accumulation
@@ -1004,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "quality_p90_cut": q_quality_p90,
         "betweenness_2src": q_betweenness,
+        "hll_shingles": q_hll_shingles,
     }
 
 
@@ -1974,6 +1985,39 @@ def _betweenness_sql(pivots: int, hops: int) -> str:
     )
 
 
+def _hll_sql() -> str:
+    """Twin of q_hll_shingles: identical md5 bucket/zero-run register
+    construction and estimator arithmetic (the ALPHA·m² literal is the
+    repr of the very double Spark inlines, so both engines divide the
+    same numbers)."""
+    from pregel_golang_implementation_spark.operators.sketches import _ALPHA, _M
+
+    def hexint(start: int, nchars: int) -> str:
+        return " + ".join(
+            f"(strpos('0123456789abcdef', substr(h, {start + t}, 1)) - 1) "
+            f"* {16 ** (nchars - 1 - t)}"
+            for t in range(nchars)
+        )
+
+    am2 = repr(_ALPHA * _M * _M)
+    return (
+        f"WITH {_SHINGLES}, "
+        "hh AS (SELECT md5(shingle) AS h FROM sh), "
+        f"bx AS (SELECT CAST({hexint(1, 2)} AS INT) AS bucket, "
+        f"CAST({hexint(3, 13)} AS BIGINT) AS x FROM hh), "
+        "r AS (SELECT bucket, MAX(53 - length(regexp_replace(bin(x), '^0+', ''))) "
+        "AS m_reg FROM bx GROUP BY 1), "
+        "a AS (SELECT COUNT(*) AS present, SUM(POWER(2.0, -m_reg)) AS s_present "
+        "FROM r) "
+        f"SELECT CAST({_M} AS BIGINT) AS m, CAST(present AS BIGINT) AS "
+        "registers_used, ROUND(CASE WHEN "
+        f"{am2} / (s_present + ({_M} - present)) <= {2.5 * _M!r} "
+        f"AND ({_M} - present) > 0 "
+        f"THEN {float(_M)!r} * ln({float(_M)!r} / CAST({_M} - present AS DOUBLE)) "
+        f"ELSE {am2} / (s_present + ({_M} - present)) END, 4) AS estimate FROM a"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "pagerank_5iter": _pagerank_sql(PR_ITERS),
@@ -2182,6 +2226,7 @@ def oracle_sql() -> dict[str, str]:
         "betweenness_2src": _materialize(
             _betweenness_sql(BETWEEN_PIVOTS, BETWEEN_HOPS)
         ),
+        "hll_shingles": _materialize(_hll_sql()),
     }
 
 
