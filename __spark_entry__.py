@@ -88,6 +88,7 @@ from pregel_golang_implementation_spark.operators.sampling import (
     hash_sample,
     mix_corpus,
     stratified_sample,
+    weighted_sample_topk,
 )
 from pregel_golang_implementation_spark.operators.terms import (
     normalize_text,
@@ -159,6 +160,7 @@ PACK_CAPACITY = 2048
 QUALITY_CUT_Q = 0.9
 BETWEEN_PIVOTS = 2
 BETWEEN_HOPS = 4
+WSAMPLE_K = 50
 
 
 # --------------------------------------------------------------- helpers
@@ -892,6 +894,16 @@ def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted sample without replacement (Efraimidis–Spirakis
+    exponential race, deterministic md5 draws): the 50 documents winning
+    the -ln(u)/n_chars race — distributed TakeOrderedAndProject, no
+    global sort (operators/sampling.py)."""
+    return weighted_sample_topk(
+        _docs(spark, sf_dir), k=WSAMPLE_K, weight_col="n_chars"
+    )
+
+
 def q_hll_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic HyperLogLog estimate of the corpus' distinct
     3-gram shingle count — one scan + one 256-key aggregate, NO distinct
@@ -1015,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_p90_cut": q_quality_p90,
         "betweenness_2src": q_betweenness,
         "hll_shingles": q_hll_shingles,
+        "weighted_sample": q_weighted_sample,
     }
 
 
@@ -1985,6 +1998,19 @@ def _betweenness_sql(pivots: int, hops: int) -> str:
     )
 
 
+def _weighted_sample_sql(k: int) -> str:
+    """Twin of q_weighted_sample: same hash48 dyadic uniform, same
+    -ln(u)/w key rounded to 9dp, same (skey, doc_id) cut order."""
+    h = "md5('wsample|' || CAST(doc_id AS VARCHAR))"
+    return (
+        f"WITH t AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS w, "
+        f"{_hash48_sql(h)} AS hv FROM documents WHERE n_chars > 0), "
+        "s AS (SELECT doc_id, w AS weight, "
+        f"ROUND(-ln((hv + 1) / {float(16 ** 12)!r}) / w, 9) AS skey FROM t) "
+        f"SELECT doc_id, weight, skey FROM s ORDER BY skey, doc_id LIMIT {k}"
+    )
+
+
 def _hll_sql() -> str:
     """Twin of q_hll_shingles: identical md5 bucket/zero-run register
     construction and estimator arithmetic (the ALPHA·m² literal is the
@@ -2227,6 +2253,7 @@ def oracle_sql() -> dict[str, str]:
             _betweenness_sql(BETWEEN_PIVOTS, BETWEEN_HOPS)
         ),
         "hll_shingles": _materialize(_hll_sql()),
+        "weighted_sample": _weighted_sample_sql(WSAMPLE_K),
     }
 
 

@@ -126,3 +126,52 @@ def stratified_sample(
             F.col(group_col) == grp, F.lit(_strat_threshold(frac))
         ).otherwise(thr)
     return docs.filter(_draw(key_col, salt) < thr)
+
+
+_H48_MOD = 16**12  # 2^48
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """(key, weight, skey) — a deterministic weighted sample WITHOUT
+    replacement of ``k`` rows: P(row in sample) increases with its
+    weight, jointly correct for all k (Efraimidis & Spirakis 2006 via
+    the exponential-race form: draw u uniform per row, rank ascending
+    by -ln(u)/w, keep the k smallest).  A corpus rebalancer uses this
+    to pick a quality- or length-weighted subset whose membership is
+    reproducible on any engine and under any partitioning.
+
+    The uniform draw is (hash48(salt|key) + 1) / 2^48 — an exact dyadic
+    rational, bit-identical everywhere (the repo's no-RNG rule);
+    ``skey`` is rounded to 9dp so the cross-engine ln ulp can never
+    reorder the cut, and ties break on the key.  Rows with weight ≤ 0
+    are excluded (they have no sampling mass).
+
+    Scale shape: one scan projecting the sort key, then Spark's
+    distributed TakeOrderedAndProject (per-partition top-k, k-row merge
+    on the driver) — the same no-global-sort discipline as top_ngrams.
+    """
+    if k < 1:
+        raise ValueError(f"k must be ≥ 1, got {k}")
+    h48 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}|"), F.col(key_col).cast("string"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h48 + F.lit(1)).cast("double") / F.lit(float(_H48_MOD))
+    w = F.col(weight_col).cast("double")
+    keyed = df.filter(w > 0).select(
+        F.col(key_col),
+        w.alias("weight"),
+        F.round(-F.log(u) / w, 9).alias("skey"),
+    )
+    return keyed.orderBy("skey", key_col).limit(k)
