@@ -61,6 +61,7 @@ from pregel_golang_implementation_spark.operators.similarity import (
 from pregel_golang_implementation_spark.operators.events import funnel, last_touch
 from pregel_golang_implementation_spark.operators.graph_metrics import (
     degree_assortativity,
+    square_count,
 )
 from pregel_golang_implementation_spark.operators.hits import hits
 from pregel_golang_implementation_spark.operators.link_prediction import (
@@ -894,6 +895,14 @@ def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_square_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-cycle (square) count — THE clustering motif on a bipartite
+    graph, where triangles cannot exist; capped wedge middles reported
+    in the result row (operators/graph_metrics.square_count)."""
+    und = symmetrize(edges_from_lineitem(spark, sf_dir))
+    return square_count(und, max_middle_degree=LP_MAX_MID_DEG)
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-weighted sample without replacement (Efraimidis–Spirakis
     exponential race, deterministic md5 draws): the 50 documents winning
@@ -1028,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness_2src": q_betweenness,
         "hll_shingles": q_hll_shingles,
         "weighted_sample": q_weighted_sample,
+        "square_count": q_square_count,
     }
 
 
@@ -1998,6 +2008,23 @@ def _betweenness_sql(pivots: int, hops: int) -> str:
     )
 
 
+def _square_count_sql(cap: int) -> str:
+    """Twin of q_square_count: capped wedge pairs, C(c,2) per pair,
+    halved for the two diagonals of each square."""
+    return (
+        f"WITH {_E}, {_U}, "
+        "deg AS (SELECT src, COUNT(*) AS d FROM u GROUP BY 1), "
+        f"em AS (SELECT u.src, u.dst FROM u JOIN deg ON u.src = deg.src "
+        f"WHERE deg.d <= {cap}), "
+        "pr AS (SELECT l.dst AS a, r.dst AS b FROM em l JOIN em r "
+        "ON l.src = r.src WHERE l.dst < r.dst), "
+        "cm AS (SELECT a, b, COUNT(*) AS c FROM pr GROUP BY 1, 2) "
+        "SELECT CAST(SUM(c * (c - 1) / 2) / 2 AS BIGINT) AS n_squares, "
+        f"CAST((SELECT COUNT(*) FROM deg WHERE d > {cap}) AS BIGINT) "
+        "AS excluded_middles FROM cm"
+    )
+
+
 def _weighted_sample_sql(k: int) -> str:
     """Twin of q_weighted_sample: same hash48 dyadic uniform, same
     -ln(u)/w key rounded to 9dp, same (skey, doc_id) cut order."""
@@ -2254,6 +2281,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hll_shingles": _materialize(_hll_sql()),
         "weighted_sample": _weighted_sample_sql(WSAMPLE_K),
+        "square_count": _materialize(_square_count_sql(LP_MAX_MID_DEG)),
     }
 
 

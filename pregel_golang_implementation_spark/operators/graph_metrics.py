@@ -15,8 +15,12 @@ operators/events.py's decimal(38,9) sums).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
 
 
 def degree_assortativity(edges: DataFrame) -> DataFrame:
@@ -55,3 +59,51 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
         (n * syy - sy * sy).cast("double")
     )
     return s.select(F.round(num / den, 6).alias("assortativity"))
+
+
+def square_count(
+    und_edges: DataFrame, max_middle_degree: int | None = 100
+) -> DataFrame:
+    """One row (n_squares, excluded_middles) — the number of 4-cycles
+    (squares): Σ over vertex pairs sharing c ≥ 2 neighbors of C(c, 2),
+    divided by 2 because each square is counted once from each of its
+    two diagonal pairs.  On a bipartite graph (where triangles cannot
+    exist) squares ARE the clustering motif — two orders sharing two
+    parts, the co-purchase overlap signal.
+
+    Same wedge discipline as link_prediction/projection: work is
+    Σ_m deg(m)², middles above ``max_middle_degree`` are cut up front
+    and REPORTED in the result row (never silent — the count is then a
+    documented lower bound over the capped graph).  One self-join keyed
+    by the middle + one (a, b) aggregate + one scalar sum.
+    """
+    e = und_edges.select("src", "dst")
+    excluded = 0
+    if max_middle_degree is not None:
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+        excluded = deg.filter(F.col("_d") > max_middle_degree).count()
+        if excluded:
+            log.warning(
+                "square_count: %d middle vertices above degree cap %d "
+                "excluded — the count is a lower bound",
+                excluded,
+                max_middle_degree,
+            )
+        e_mid = e.join(
+            deg.filter(F.col("_d") <= max_middle_degree).select("src"), "src"
+        )
+    else:
+        e_mid = e
+    pairs = (
+        e_mid.alias("l")
+        .join(e_mid.alias("r"), F.col("l.src") == F.col("r.src"))
+        .filter(F.col("l.dst") < F.col("r.dst"))
+        .select(F.col("l.dst").alias("a"), F.col("r.dst").alias("b"))
+    )
+    common = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
+    return common.agg(
+        (F.sum(F.col("c") * (F.col("c") - 1) / 2) / 2)
+        .cast("long")
+        .alias("n_squares"),
+        F.lit(excluded).cast("long").alias("excluded_middles"),
+    )

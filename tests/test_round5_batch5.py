@@ -73,3 +73,38 @@ def test_cooccurrence_cap_drops_megabasket(spark):
     out = cooccurrence_topk(_mem(spark, rows), k=3, max_container_size=5)
     got = {(r["id"], r["candidate"]) for r in out.collect()}
     assert got == {(1, 2), (2, 1)}  # only the small basket contributes
+
+
+# ------------------------------------------------------------ square count
+
+def test_square_count_k4_and_single_square(spark):
+    from pregel_golang_implementation_spark.operators.graph_metrics import (
+        square_count,
+    )
+
+    # K4 contains exactly three 4-cycles
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    r = square_count(_und(spark, k4), max_middle_degree=None).first()
+    assert (r["n_squares"], r["excluded_middles"]) == (3, 0)
+    # a single square 1-2-3-4-1
+    sq = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    r = square_count(_und(spark, sq), max_middle_degree=None).first()
+    assert r["n_squares"] == 1
+    # a triangle has no squares
+    tri = [(1, 2), (2, 3), (1, 3)]
+    r = square_count(_und(spark, tri), max_middle_degree=None).first()
+    assert r["n_squares"] == 0
+
+
+def test_square_count_cap_reports_excluded(spark):
+    from pregel_golang_implementation_spark.operators.graph_metrics import (
+        square_count,
+    )
+
+    # hub 0 adjacent to 1..9 (degree 9) plus a clean square 20-21-22-23
+    pairs = [(0, i) for i in range(1, 10)] + [
+        (20, 21), (21, 22), (22, 23), (23, 20),
+    ]
+    r = square_count(_und(spark, pairs), max_middle_degree=5).first()
+    assert r["excluded_middles"] == 1  # the hub middle was cut
+    assert r["n_squares"] == 1  # the square away from the hub survives
