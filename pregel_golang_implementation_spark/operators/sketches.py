@@ -58,12 +58,22 @@ def hll_registers(df: DataFrame, col: str) -> DataFrame:
     )
 
 
-def hll_distinct(df: DataFrame, col: str) -> DataFrame:
-    """One row (m, registers_used, estimate) — the HLL cardinality
-    estimate of distinct ``df[col]`` values, with the standard
-    linear-counting fallback when the raw estimate is small and empty
-    registers remain."""
-    regs = hll_registers(df, col)
+def hll_merge(*register_frames: DataFrame) -> DataFrame:
+    """Combine register tables from disjoint corpus shards (or stream
+    micro-batches) into one — element-wise max, the sketch's monoid
+    operation.  sketch(A ∪ B) ≡ hll_merge(sketch(A), sketch(B)), so a
+    1000-executor rollup or an incremental accumulator never rescans
+    old data."""
+    from functools import reduce
+
+    allr = reduce(lambda a, b: a.unionByName(b), register_frames)
+    return allr.groupBy("bucket").agg(F.max("m_reg").alias("m_reg"))
+
+
+def hll_estimate_from_registers(regs: DataFrame) -> DataFrame:
+    """One row (m, registers_used, estimate) from a register table —
+    the estimator half of ``hll_distinct``, usable on merged or
+    incrementally-maintained registers."""
     agg = regs.agg(
         F.count(F.lit(1)).alias("present"),
         F.sum(F.pow(F.lit(2.0), -F.col("m_reg"))).alias("s_present"),
@@ -80,3 +90,11 @@ def hll_distinct(df: DataFrame, col: str) -> DataFrame:
         F.col("present").cast("long").alias("registers_used"),
         F.round(est, 4).alias("estimate"),
     )
+
+
+def hll_distinct(df: DataFrame, col: str) -> DataFrame:
+    """One row (m, registers_used, estimate) — the HLL cardinality
+    estimate of distinct ``df[col]`` values, with the standard
+    linear-counting fallback when the raw estimate is small and empty
+    registers remain."""
+    return hll_estimate_from_registers(hll_registers(df, col))

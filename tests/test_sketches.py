@@ -53,3 +53,21 @@ def test_hll_registers_merge_as_elementwise_max(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+def test_hll_merge_estimate_equals_direct(spark):
+    from pregel_golang_implementation_spark.operators.sketches import (
+        hll_estimate_from_registers,
+        hll_merge,
+    )
+
+    a = _vals(spark, [f"p-{i}" for i in range(400)])
+    b = _vals(spark, [f"q-{i}" for i in range(400)])
+    merged_est = hll_estimate_from_registers(
+        hll_merge(hll_registers(a, "v"), hll_registers(b, "v"))
+    ).first()
+    direct_est = hll_distinct(
+        _vals(spark, [f"p-{i}" for i in range(400)] + [f"q-{i}" for i in range(400)]),
+        "v",
+    ).first()
+    assert tuple(merged_est) == tuple(direct_est)
