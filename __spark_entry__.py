@@ -18,6 +18,7 @@ reordering; integer-valued results are exact.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -99,6 +100,7 @@ from pregel_golang_implementation_spark.operators.terms import (
 )
 from pregel_golang_implementation_spark.operators.sssp import sssp_spec
 from pregel_golang_implementation_spark.operators.textstats import (
+    char_entropy,
     fingerprint,
     lang_id,
     quality_score,
@@ -895,6 +897,12 @@ def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-distribution Shannon entropy — the
+    gibberish/encoding-junk quality signal (operators/textstats.py)."""
+    return char_entropy(_docs(spark, sf_dir))
+
+
 def q_square_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-cycle (square) count — THE clustering motif on a bipartite
     graph, where triangles cannot exist; capped wedge middles reported
@@ -1038,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_shingles": q_hll_shingles,
         "weighted_sample": q_weighted_sample,
         "square_count": q_square_count,
+        "char_entropy": q_char_entropy,
     }
 
 
@@ -2008,6 +2017,19 @@ def _betweenness_sql(pivots: int, hops: int) -> str:
     )
 
 
+_CHAR_ENTROPY_SQL = (
+    "WITH ch AS (SELECT doc_id, length(text) AS n_chars, "
+    "substr(text, CAST(unnest(generate_series(1, length(text))) AS INT), 1) AS c "
+    "FROM documents WHERE length(text) > 0), "
+    "cc AS (SELECT doc_id, n_chars, c, COUNT(*) AS cnt FROM ch GROUP BY 1, 2, 3) "
+    "SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, "
+    "ROUND((ln(CAST(n_chars AS DOUBLE)) - SUM(CAST(cnt AS DOUBLE) * "
+    "ln(CAST(cnt AS DOUBLE))) / CAST(n_chars AS DOUBLE)) / "
+    f"{math.log(2.0)!r}, 6) AS entropy_bits "
+    "FROM cc GROUP BY doc_id, n_chars"
+)
+
+
 def _square_count_sql(cap: int) -> str:
     """Twin of q_square_count: capped wedge pairs, C(c,2) per pair,
     halved for the two diagonals of each square."""
@@ -2282,6 +2304,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_shingles": _materialize(_hll_sql()),
         "weighted_sample": _weighted_sample_sql(WSAMPLE_K),
         "square_count": _materialize(_square_count_sql(LP_MAX_MID_DEG)),
+        "char_entropy": _CHAR_ENTROPY_SQL,
     }
 
 

@@ -8,6 +8,8 @@ DuckDB oracle.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -200,4 +202,49 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         "doc_id",
         F.md5(norm).alias("fp_norm"),
         F.array_min(shingle_hashes).alias("fp_min_shingle"),
+    )
+
+
+def char_entropy(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_chars, entropy_bits) — Shannon entropy of each
+    document's character distribution, the classic gibberish/encoding-
+    junk filter: natural text sits around 4-4.5 bits, base64 blobs and
+    single-char spam fall far outside.
+
+    Computed as log2(n) − Σ c·ln(c) / (n·ln 2) over per-character
+    counts c — exact integers into two ln calls and one small sum, so a
+    6dp round makes it hash-stable cross-engine (the repo's ln
+    precedent: adamic_adar, lang_id, HLL).  Chars are enumerated by
+    position (transform over 1..length) because RE2-based engines have
+    no lookahead splits; the explode fans out n rows per doc into one
+    (doc, char)-keyed count — scan-proportional, uniform keys.
+    """
+    chars = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length({text_col})), "
+                f"i -> substr({text_col}, i, 1))"
+            )
+        ).alias("c"),
+    ).filter(F.col("n_chars") > 0)
+    counts = chars.groupBy("doc_id", "n_chars", "c").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return counts.groupBy("doc_id", "n_chars").agg(
+        F.round(
+            (
+                F.log(F.col("n_chars").cast("double"))
+                - F.sum(
+                    F.col("cnt").cast("double")
+                    * F.log(F.col("cnt").cast("double"))
+                )
+                / F.col("n_chars").cast("double")
+            )
+            / F.lit(math.log(2.0)),
+            6,
+        ).alias("entropy_bits")
     )

@@ -177,3 +177,28 @@ def test_adamic_adar_excludes_existing_edges(spark):
     pairs = [(1, 2), (1, 3), (2, 3)]  # triangle: every pair adjacent
     und = symmetrize(_edges(spark, pairs))
     assert adamic_adar_topk(und, k=3, max_middle_degree=None).count() == 0
+
+
+# ----------------------------------------------------------- char entropy
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    from pregel_golang_implementation_spark.operators.textstats import (
+        char_entropy,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["entropy_bits"] for r in char_entropy(docs).collect()}
+    assert got[1] == 0.0  # single symbol: zero entropy
+    assert got[2] == 1.0  # two symbols, uniform: 1 bit
+    assert got[3] == 2.0  # four symbols, uniform: 2 bits
+    assert 4 not in got  # empty doc excluded
+    # a skewed distribution lands strictly between the uniform bounds
+    docs2 = spark.createDataFrame([(9, "aab")], "doc_id long, text string")
+    e = char_entropy(docs2).first()["entropy_bits"]
+    expect = -(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3)
+    assert abs(e - round(expect, 6)) < 1e-9
