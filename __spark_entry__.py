@@ -44,7 +44,10 @@ from pregel_golang_implementation_spark.operators.events import (
     event_window_stats,
     sessionize,
 )
-from pregel_golang_implementation_spark.operators.label_propagation import lpa_spec
+from pregel_golang_implementation_spark.operators.label_propagation import (
+    lpa_spec,
+    seeded_label_spread,
+)
 from pregel_golang_implementation_spark.operators.pagerank import (
     pagerank_spec,
     prepare_pagerank_graph,
@@ -164,6 +167,7 @@ QUALITY_CUT_Q = 0.9
 BETWEEN_PIVOTS = 2
 BETWEEN_HOPS = 4
 WSAMPLE_K = 50
+SPREAD_ROUNDS = 4
 
 
 # --------------------------------------------------------------- helpers
@@ -897,6 +901,25 @@ def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label spreading over the order↔part graph:
+    every 10th order is seeded with its customer's nation; 4 rounds of
+    fixed-seed mode adoption expand the labels through the bipartite
+    alternation (operators/label_propagation.seeded_label_spread)."""
+    und = symmetrize(edges_from_lineitem(spark, sf_dir))
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    seeds = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            F.col("o_orderkey").cast("long").alias("id"),
+            F.col("c_nationkey").cast("long").alias("lbl"),
+        )
+    )
+    return seeded_label_spread(und, seeds, rounds=SPREAD_ROUNDS)
+
+
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document character-distribution Shannon entropy — the
     gibberish/encoding-junk quality signal (operators/textstats.py)."""
@@ -1047,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "square_count": q_square_count,
         "char_entropy": q_char_entropy,
+        "label_spread": q_label_spread,
     }
 
 
@@ -2017,6 +2041,40 @@ def _betweenness_sql(pivots: int, hops: int) -> str:
     )
 
 
+def _label_spread_sql(rounds: int) -> str:
+    """Twin of q_label_spread: the fixed-seed mode-adoption recurrence
+    unrolled — the _lpa_sql vote/rank pattern with a CASE pinning seeds
+    and NULL-labeled vertices casting no votes."""
+    parts = [
+        _E,
+        _U,
+        _V,
+        "seeds AS (SELECT CAST(o_orderkey AS BIGINT) AS id, "
+        "CAST(c_nationkey AS BIGINT) AS lbl FROM orders "
+        "JOIN customer ON o_custkey = c_custkey WHERE o_orderkey % 10 = 0)",
+        "s0 AS (SELECT v.id, seeds.lbl, seeds.lbl IS NOT NULL AS seed "
+        "FROM v LEFT JOIN seeds ON v.id = seeds.id)",
+    ]
+    for k in range(1, rounds + 1):
+        p = f"s{k - 1}"
+        parts += [
+            f"c{k} AS (SELECT u.dst AS id, p.lbl, COUNT(*) AS cnt FROM {p} p "
+            f"JOIN u ON p.id = u.src WHERE p.lbl IS NOT NULL GROUP BY 1, 2)",
+            f"t{k} AS (SELECT id, lbl, ROW_NUMBER() OVER "
+            f"(PARTITION BY id ORDER BY cnt DESC, lbl ASC) AS rn FROM c{k})",
+            f"s{k} AS (SELECT p.id, CASE WHEN p.seed THEN p.lbl "
+            f"ELSE COALESCE(t.lbl, p.lbl) END AS lbl, p.seed FROM {p} p "
+            f"LEFT JOIN (SELECT id, lbl FROM t{k} WHERE rn = 1) t "
+            f"ON p.id = t.id)",
+        ]
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT id, CAST(lbl AS BIGINT) AS label FROM s{rounds} "
+        "WHERE lbl IS NOT NULL"
+    )
+
+
 _CHAR_ENTROPY_SQL = (
     "WITH ch AS (SELECT doc_id, length(text) AS n_chars, "
     "substr(text, CAST(unnest(generate_series(1, length(text))) AS INT), 1) AS c "
@@ -2305,6 +2363,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": _weighted_sample_sql(WSAMPLE_K),
         "square_count": _materialize(_square_count_sql(LP_MAX_MID_DEG)),
         "char_entropy": _CHAR_ENTROPY_SQL,
+        "label_spread": _materialize(_label_spread_sql(SPREAD_ROUNDS)),
     }
 
 

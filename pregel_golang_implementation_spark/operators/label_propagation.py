@@ -61,3 +61,62 @@ def label_propagation(
     e = edges if directed else symmetrize(edges)
     runner = PregelRunner(spark, lpa_spec(max_supersteps), **runner_kwargs)
     return runner.run(e)
+
+
+def seeded_label_spread(
+    und_edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int,
+) -> DataFrame:
+    """Semi-supervised label spreading: ``seeds`` (id, lbl) are FIXED
+    ground-truth labels; every other vertex repeatedly adopts the mode
+    of its labeled neighbors (ties → smallest label) for ``rounds``
+    synchronous rounds.  The semi-supervised counterpart of LPA — where
+    LPA discovers communities from scratch, this EXPANDS known labels
+    (a trusted domain list, human topic tags, spam verdicts) across the
+    link graph.
+
+    Returns (id, label) for every vertex labeled by round ``rounds``;
+    vertices the labels never reached are omitted, never guessed.
+
+    Scale shape per round: one labeled-frontier ⋈ edges join + one
+    (id, lbl)-keyed count with map-side partials + the windowless
+    algebraic argmax (max over (cnt, -lbl) structs — no per-id Window,
+    the r5 LPA combine discipline), then a co-partitioned merge join.
+    Seeds never recompute: the CASE keeps them pinned.
+    """
+    e = und_edges.select("src", "dst")
+    state = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .join(
+            seeds.select("id", F.col("lbl").cast("long").alias("lbl")),
+            "id",
+            "left",
+        )
+        .withColumn("seed", F.col("lbl").isNotNull())
+    )
+    for _ in range(rounds):
+        state = state.localCheckpoint(eager=False)
+        votes = (
+            state.filter(F.col("lbl").isNotNull())
+            .join(e, state["id"] == e["src"])
+            .groupBy(F.col("dst").alias("id"), "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        winner = (
+            votes.groupBy("id")
+            .agg(F.max(F.struct(F.col("cnt"), (-F.col("lbl")).alias("nl"))).alias("w"))
+            .select("id", (-F.col("w.nl")).alias("new_lbl"))
+        )
+        state = state.join(winner, "id", "left").select(
+            "id",
+            F.when(F.col("seed"), F.col("lbl"))
+            .otherwise(F.coalesce(F.col("new_lbl"), F.col("lbl")))
+            .alias("lbl"),
+            "seed",
+        )
+    return state.filter(F.col("lbl").isNotNull()).select(
+        "id", F.col("lbl").alias("label")
+    )

@@ -108,3 +108,45 @@ def test_square_count_cap_reports_excluded(spark):
     r = square_count(_und(spark, pairs), max_middle_degree=5).first()
     assert r["excluded_middles"] == 1  # the hub middle was cut
     assert r["n_squares"] == 1  # the square away from the hub survives
+
+
+# ------------------------------------------------------- seeded spreading
+
+def test_seeded_spread_expands_and_pins_seeds(spark):
+    from pregel_golang_implementation_spark.operators.label_propagation import (
+        seeded_label_spread,
+    )
+
+    # path 1-2-3-4-5; seed 1→A(=7), 5→B(=3); labels meet in the middle
+    und = _und(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    seeds = spark.createDataFrame([(1, 7), (5, 3)], "id long, lbl long")
+    got = {
+        r["id"]: r["label"]
+        for r in seeded_label_spread(und, seeds, rounds=2).collect()
+    }
+    assert got[1] == 7 and got[5] == 3  # seeds pinned
+    assert got[2] == 7 and got[4] == 3  # nearest seed wins
+    # vertex 3 hears both with equal count → smaller label wins
+    assert got[3] == 3
+    # one more round: non-seed 2 now hears {7 from seed 1, 3 from vertex
+    # 3} — equal count, smaller label wins; the seed itself never moves
+    got3 = {
+        r["id"]: r["label"]
+        for r in seeded_label_spread(und, seeds, rounds=3).collect()
+    }
+    assert got3[1] == 7 and got3[2] == 3
+
+
+def test_seeded_spread_unreached_omitted(spark):
+    from pregel_golang_implementation_spark.operators.label_propagation import (
+        seeded_label_spread,
+    )
+
+    # two components; only one is seeded
+    und = _und(spark, [(1, 2), (10, 11)])
+    seeds = spark.createDataFrame([(1, 5)], "id long, lbl long")
+    got = {
+        r["id"]: r["label"]
+        for r in seeded_label_spread(und, seeds, rounds=2).collect()
+    }
+    assert got == {1: 5, 2: 5}
