@@ -901,6 +901,41 @@ def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient on the co-purchase graph:
+    2·triangles(v) / (deg(v)·(deg(v)−1)) for deg ≥ 2 — composes the
+    degree-ordered triangle counts with the degree table; exact
+    integers into one IEEE division, 6dp round."""
+    from pregel_golang_implementation_spark.operators.triangles import (
+        triangles_per_vertex,
+    )
+
+    e = _copurchase_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangles_per_vertex(spark, e).select(
+        "id", F.col("triangles").cast("long").alias("_t")
+    )
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(tri, "id", "left")
+        .select(
+            "id",
+            "degree",
+            F.round(
+                F.lit(2.0)
+                * F.coalesce(F.col("_t"), F.lit(0)).cast("double")
+                / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+                6,
+            ).alias("coeff"),
+        )
+    )
+
+
 def q_label_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-supervised label spreading over the order↔part graph:
     every 10th order is seeded with its customer's nation; 4 rounds of
@@ -1071,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "square_count": q_square_count,
         "char_entropy": q_char_entropy,
         "label_spread": q_label_spread,
+        "clustering_coeff": q_clustering_coeff,
     }
 
 
@@ -2364,6 +2400,21 @@ def oracle_sql() -> dict[str, str]:
         "square_count": _materialize(_square_count_sql(LP_MAX_MID_DEG)),
         "char_entropy": _CHAR_ENTROPY_SQL,
         "label_spread": _materialize(_label_spread_sql(SPREAD_ROUNDS)),
+        "clustering_coeff": _materialize(
+            "WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), "
+            "pp AS (SELECT a.p AS src, b.p AS dst FROM li a JOIN li b ON a.o = b.o AND a.p < b.p "
+            "GROUP BY 1, 2 HAVING COUNT(*) >= 2), "
+            "tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c FROM pp e1 "
+            "JOIN pp e2 ON e1.dst = e2.src JOIN pp e3 ON e3.src = e1.src AND e3.dst = e2.dst), "
+            "tpv AS (SELECT id, COUNT(*) AS t FROM (SELECT a AS id FROM tri "
+            "UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri) GROUP BY 1), "
+            "deg AS (SELECT id, COUNT(*) AS degree FROM (SELECT src AS id FROM pp "
+            "UNION ALL SELECT dst FROM pp) GROUP BY 1) "
+            "SELECT deg.id, CAST(deg.degree AS BIGINT) AS degree, "
+            "ROUND(2.0 * CAST(COALESCE(tpv.t, 0) AS DOUBLE) / "
+            "CAST(deg.degree * (deg.degree - 1) AS DOUBLE), 6) AS coeff "
+            "FROM deg LEFT JOIN tpv ON deg.id = tpv.id WHERE deg.degree >= 2"
+        ),
     }
 
 
