@@ -96,6 +96,7 @@ from pregel_golang_implementation_spark.operators.sampling import (
     weighted_sample_topk,
 )
 from pregel_golang_implementation_spark.operators.terms import (
+    bm25_topk,
     normalize_text,
     repeated_spans,
     tfidf_top_terms,
@@ -168,6 +169,10 @@ BETWEEN_PIVOTS = 2
 BETWEEN_HOPS = 4
 WSAMPLE_K = 50
 SPREAD_ROUNDS = 4
+BM25_TERMS = ("spark", "window", "merge")
+BM25_K = 10
+BM25_K1 = 1.2
+BM25_B = 0.75
 
 
 # --------------------------------------------------------------- helpers
@@ -901,6 +906,12 @@ def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for a fixed 3-term query — the query
+    surface TF-IDF features exist for (operators/terms.bm25_topk)."""
+    return bm25_topk(_docs(spark, sf_dir), list(BM25_TERMS), k=BM25_K)
+
+
 def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local clustering coefficient on the co-purchase graph:
     2·triangles(v) / (deg(v)·(deg(v)−1)) for deg ≥ 2 — composes the
@@ -1107,6 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q_char_entropy,
         "label_spread": q_label_spread,
         "clustering_coeff": q_clustering_coeff,
+        "bm25_topk": q_bm25,
     }
 
 
@@ -2077,6 +2089,30 @@ def _betweenness_sql(pivots: int, hops: int) -> str:
     )
 
 
+def _bm25_sql(terms: tuple[str, ...], k: int, k1: float, b: float) -> str:
+    """Twin of q_bm25: same tokenization as _tfidf_sql, Lucene-style
+    idf, identical float-literal constants (Python reprs) and operation
+    order; avgdl is the single exact SUM/COUNT division."""
+    tl = ", ".join(f"'{t}'" for t in terms)
+    return (
+        "WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) "
+        "AS term FROM documents), "
+        "tk AS (SELECT doc_id, term FROM tok WHERE term <> ''), "
+        "dl AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY 1), "
+        "nn AS (SELECT COUNT(*)::DOUBLE AS n, SUM(dl)::DOUBLE AS s FROM dl), "
+        f"tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk "
+        f"WHERE term IN ({tl}) GROUP BY 1, 2), "
+        "df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), "
+        "co AS (SELECT tf.doc_id, "
+        "ln(1.0 + (nn.n - df.df + 0.5) / (df.df + 0.5)) * "
+        f"(tf.tf * {k1 + 1.0!r}) / (tf.tf + {k1!r} * ({1.0 - b!r} + "
+        f"{b!r} * dl.dl / (nn.s / nn.n))) AS c "
+        "FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN nn), "
+        "sc AS (SELECT doc_id, ROUND(SUM(c), 6) AS score FROM co GROUP BY 1) "
+        f"SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id ASC LIMIT {k}"
+    )
+
+
 def _label_spread_sql(rounds: int) -> str:
     """Twin of q_label_spread: the fixed-seed mode-adoption recurrence
     unrolled — the _lpa_sql vote/rank pattern with a CASE pinning seeds
@@ -2400,6 +2436,7 @@ def oracle_sql() -> dict[str, str]:
         "square_count": _materialize(_square_count_sql(LP_MAX_MID_DEG)),
         "char_entropy": _CHAR_ENTROPY_SQL,
         "label_spread": _materialize(_label_spread_sql(SPREAD_ROUNDS)),
+        "bm25_topk": _materialize(_bm25_sql(BM25_TERMS, BM25_K, BM25_K1, BM25_B)),
         "clustering_coeff": _materialize(
             "WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), "
             "pp AS (SELECT a.p AS src, b.p AS dst FROM li a JOIN li b ON a.o = b.o AND a.p < b.p "

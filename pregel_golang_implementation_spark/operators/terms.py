@@ -190,3 +190,75 @@ def repeated_spans(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """(doc_id, score) — the ``k`` documents ranking highest under BM25
+    for the bag of ``query_terms`` (Robertson et al.; the Lucene-style
+    idf = ln(1 + (N−df+0.5)/(df+0.5)), which never goes negative).
+    Ranked retrieval is the query surface a corpus engine owes its
+    users once TF-IDF features exist.
+
+    N and avgdl are taken over tokenizable documents (≥1 token).  All
+    inputs to the floating-point formula are exact integers (tf, df,
+    dl, N) or their single exact ratio (avgdl), the per-term
+    contributions sum over only |query| values, and the score is
+    rounded to ``round_to`` before the (score DESC, doc_id ASC) cut —
+    the repo's cross-engine determinism discipline.
+
+    Scale shape: the term filter prunes the exploded token stream to
+    the query's terms BEFORE any aggregation (scan-proportional, tiny
+    output); df and the (N, avgdl) scalars are driver-size; the final
+    cut is a distributed TakeOrderedAndProject.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    tk = _tokens(docs, text_col, id_col)
+    dl = tk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n_row = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+    ).first()
+    n_docs, avgdl = int(n_row["n"]), float(n_row["s"]) / int(n_row["n"])
+    tf = (
+        tk.filter(F.col("term").isin(list(query_terms)))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    contrib = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            (
+                idf
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl") / F.lit(avgdl)
+                    )
+                )
+            ).alias("c"),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.round(F.sum("c"), round_to).alias("score")
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
