@@ -21,7 +21,7 @@ from __future__ import annotations
 import math
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pregel_golang_implementation_spark.operators.connected_components import (
@@ -78,7 +78,10 @@ from pregel_golang_implementation_spark.operators.relational import (
     revenue_rollup,
 )
 from pregel_golang_implementation_spark.operators.scc import scc_fwbw
-from pregel_golang_implementation_spark.operators.bfs import harmonic_centrality
+from pregel_golang_implementation_spark.operators.bfs import (
+    harmonic_centrality,
+    msbfs_distances,
+)
 from pregel_golang_implementation_spark.operators.projection import (
     cooccurrence_topk,
 )
@@ -906,6 +909,45 @@ def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hop_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-function sample: (dist, n_pairs, cum_frac) over the
+    4-pivot multi-source BFS — the distance distribution whose 0.9
+    quantile is the standard effective-diameter estimate (ANF/HyperANF
+    family, here exact over the pivot sample).  cum_frac is exact
+    integer division rounded at 6dp."""
+    und = symmetrize(edges_from_lineitem(spark, sf_dir))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pivots = [
+        r[0]
+        for r in li.select(F.col("l_orderkey").cast("long"))
+        .distinct()
+        .orderBy("l_orderkey")
+        .limit(HARMONIC_PIVOTS)
+        .collect()
+    ]
+    d = msbfs_distances(und, pivots, hops=HARMONIC_HOPS)
+    hist = d.groupBy("dist").agg(F.count(F.lit(1)).alias("n_pairs"))
+    total = d.count()
+    w = (
+        hist.withColumn(
+            "cum",
+            F.sum("n_pairs").over(
+                Window.orderBy("dist").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        )
+        .select(
+            F.col("dist").cast("long").alias("dist"),
+            "n_pairs",
+            F.round(F.col("cum").cast("double") / F.lit(float(total)), 6).alias(
+                "cum_frac"
+            ),
+        )
+    )
+    return w
+
+
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranked retrieval for a fixed 3-term query — the query
     surface TF-IDF features exist for (operators/terms.bm25_topk)."""
@@ -1119,6 +1161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_spread": q_label_spread,
         "clustering_coeff": q_clustering_coeff,
         "bm25_topk": q_bm25,
+        "hop_distribution": q_hop_distribution,
     }
 
 
@@ -2089,6 +2132,38 @@ def _betweenness_sql(pivots: int, hops: int) -> str:
     )
 
 
+def _hop_dist_sql(pivots: int, hops: int) -> str:
+    """Twin of q_hop_distribution: the _harmonic_sql BFS chain, then a
+    per-distance histogram with a running cumulative fraction."""
+    parts = [
+        _E,
+        _U,
+        f"pvt AS (SELECT l_orderkey AS pv FROM (SELECT DISTINCT l_orderkey "
+        f"FROM lineitem ORDER BY 1 LIMIT {pivots}))",
+        "d0 AS (SELECT pv AS id, pv, 0 AS dist FROM pvt)",
+        "fr0 AS (SELECT id, pv, dist FROM d0)",
+    ]
+    for h in range(1, hops + 1):
+        parts += [
+            f"rh{h} AS (SELECT DISTINCT u.dst AS id, f.pv, {h} AS dist "
+            f"FROM fr{h - 1} f JOIN u ON f.id = u.src)",
+            f"fr{h} AS (SELECT r.id, r.pv, r.dist FROM rh{h} r "
+            f"LEFT JOIN d{h - 1} d ON r.id = d.id AND r.pv = d.pv "
+            f"WHERE d.id IS NULL)",
+            f"d{h} AS (SELECT * FROM d{h - 1} UNION ALL SELECT * FROM fr{h})",
+        ]
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f", hst AS (SELECT dist, COUNT(*) AS n_pairs FROM d{hops} GROUP BY 1), "
+        f"tt AS (SELECT COUNT(*)::DOUBLE AS n FROM d{hops}) "
+        "SELECT CAST(dist AS BIGINT) AS dist, n_pairs, "
+        "ROUND((SUM(n_pairs) OVER (ORDER BY dist ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW))::DOUBLE / (SELECT n FROM tt), 6) "
+        "AS cum_frac FROM hst"
+    )
+
+
 def _bm25_sql(terms: tuple[str, ...], k: int, k1: float, b: float) -> str:
     """Twin of q_bm25: same tokenization as _tfidf_sql, Lucene-style
     idf, identical float-literal constants (Python reprs) and operation
@@ -2437,6 +2512,9 @@ def oracle_sql() -> dict[str, str]:
         "char_entropy": _CHAR_ENTROPY_SQL,
         "label_spread": _materialize(_label_spread_sql(SPREAD_ROUNDS)),
         "bm25_topk": _materialize(_bm25_sql(BM25_TERMS, BM25_K, BM25_K1, BM25_B)),
+        "hop_distribution": _materialize(
+            _hop_dist_sql(HARMONIC_PIVOTS, HARMONIC_HOPS)
+        ),
         "clustering_coeff": _materialize(
             "WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), "
             "pp AS (SELECT a.p AS src, b.p AS dst FROM li a JOIN li b ON a.o = b.o AND a.p < b.p "
