@@ -53,6 +53,7 @@ from pregel_golang_implementation_spark.operators.pagerank import (
     prepare_pagerank_graph,
 )
 from pregel_golang_implementation_spark.operators.kcore import kcore_peel
+from pregel_golang_implementation_spark.operators.ktruss import ktruss_peel
 from pregel_golang_implementation_spark.operators.similarity import (
     ann_candidates,
     ann_topk,
@@ -174,6 +175,8 @@ WSAMPLE_K = 50
 SPREAD_ROUNDS = 4
 BM25_TERMS = ("spark", "window", "merge")
 BM25_K = 10
+KTRUSS_K = 3
+KTRUSS_ROUNDS = 3
 BM25_K1 = 1.2
 BM25_B = 0.75
 
@@ -909,6 +912,15 @@ def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-truss of the co-purchase graph: edges in ≥1 triangle after 3
+    peel rounds — the edge-level cohesion filter a hub cannot fake
+    (operators/ktruss.py)."""
+    return ktruss_peel(
+        _copurchase_edges(spark, sf_dir), k=KTRUSS_K, rounds=KTRUSS_ROUNDS
+    ).select("src", "dst", F.col("support").cast("long").alias("support"))
+
+
 def q_hop_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighborhood-function sample: (dist, n_pairs, cum_frac) over the
     4-pivot multi-source BFS — the distance distribution whose 0.9
@@ -1162,6 +1174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coeff": q_clustering_coeff,
         "bm25_topk": q_bm25,
         "hop_distribution": q_hop_distribution,
+        "ktruss_3": q_ktruss,
     }
 
 
@@ -2132,6 +2145,34 @@ def _betweenness_sql(pivots: int, hops: int) -> str:
     )
 
 
+def _ktruss_sql(k: int, rounds: int) -> str:
+    """Twin of q_ktruss: the triangle-support / edge-peel recurrence
+    unrolled over the co-purchase edge table."""
+    parts = [
+        "li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)",
+        "pp0 AS (SELECT a.p AS src, b.p AS dst FROM li a JOIN li b "
+        "ON a.o = b.o AND a.p < b.p GROUP BY 1, 2 HAVING COUNT(*) >= 2)",
+    ]
+    for r in range(1, rounds + 1):
+        p = f"pp{r - 1}"
+        parts += [
+            f"tri{r} AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c "
+            f"FROM {p} e1 JOIN {p} e2 ON e1.dst = e2.src "
+            f"JOIN {p} e3 ON e3.src = e1.src AND e3.dst = e2.dst)",
+            f"sup{r} AS (SELECT src, dst, COUNT(*) AS support FROM "
+            f"(SELECT a AS src, b AS dst FROM tri{r} "
+            f"UNION ALL SELECT b, c FROM tri{r} "
+            f"UNION ALL SELECT a, c FROM tri{r}) GROUP BY 1, 2)",
+            f"pp{r} AS (SELECT src, dst FROM sup{r} WHERE support >= {k - 2})",
+        ]
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT src, dst, CAST(support AS BIGINT) AS support "
+        f"FROM sup{rounds} WHERE support >= {k - 2}"
+    )
+
+
 def _hop_dist_sql(pivots: int, hops: int) -> str:
     """Twin of q_hop_distribution: the _harmonic_sql BFS chain, then a
     per-distance histogram with a running cumulative fraction."""
@@ -2515,6 +2556,7 @@ def oracle_sql() -> dict[str, str]:
         "hop_distribution": _materialize(
             _hop_dist_sql(HARMONIC_PIVOTS, HARMONIC_HOPS)
         ),
+        "ktruss_3": _materialize(_ktruss_sql(KTRUSS_K, KTRUSS_ROUNDS)),
         "clustering_coeff": _materialize(
             "WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), "
             "pp AS (SELECT a.p AS src, b.p AS dst FROM li a JOIN li b ON a.o = b.o AND a.p < b.p "

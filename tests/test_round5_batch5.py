@@ -190,3 +190,48 @@ def test_bm25_empty_query_raises(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="query_terms"):
         bm25_topk(docs, [], k=3)
+
+
+# -------------------------------------------------------------- k-truss
+
+def test_ktruss_peels_tail_keeps_clique(spark):
+    from pregel_golang_implementation_spark.operators.ktruss import ktruss_peel
+
+    # K4 (every edge in 2 triangles) + a pendant triangle edge chain:
+    # edges of the triangle (10,11,12) have support 1, K4 edges support 2
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    tri = [(10, 11), (10, 12), (11, 12)]
+    e = spark.createDataFrame(k4 + tri, "src long, dst long")
+    out4 = {
+        (r["src"], r["dst"]): r["support"]
+        for r in ktruss_peel(e, k=4, rounds=2).collect()
+    }
+    assert set(out4) == set(k4)  # 4-truss = the K4 alone
+    assert all(s == 2 for s in out4.values())
+    out3 = {
+        (r["src"], r["dst"]) for r in ktruss_peel(e, k=3, rounds=2).collect()
+    }
+    assert out3 == set(k4 + tri)  # 3-truss keeps the triangle too
+
+
+def test_ktruss_cascade_needs_rounds(spark):
+    from pregel_golang_implementation_spark.operators.ktruss import ktruss_peel
+
+    # two triangles sharing edge (1,2): (1,2,3) and (1,2,4).  At k=4,
+    # round 1 keeps only (1,2) (support 2) which then has no triangle —
+    # round 2 must cascade it away to the empty 4-truss
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (1, 4), (2, 4)], "src long, dst long"
+    )
+    assert ktruss_peel(e, k=4, rounds=1).count() == 1
+    assert ktruss_peel(e, k=4, rounds=2).count() == 0
+
+
+def test_ktruss_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from pregel_golang_implementation_spark.operators.ktruss import ktruss_peel
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with _pytest.raises(ValueError, match="k must"):
+        ktruss_peel(e, k=2, rounds=1)
