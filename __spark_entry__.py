@@ -66,6 +66,7 @@ from pregel_golang_implementation_spark.operators.similarity import (
 from pregel_golang_implementation_spark.operators.events import funnel, last_touch
 from pregel_golang_implementation_spark.operators.graph_metrics import (
     degree_assortativity,
+    powerlaw_alpha,
     square_count,
 )
 from pregel_golang_implementation_spark.operators.hits import hits
@@ -177,6 +178,7 @@ BM25_TERMS = ("spark", "window", "merge")
 BM25_K = 10
 KTRUSS_K = 3
 KTRUSS_ROUNDS = 3
+PL_DMIN = 2
 BM25_K1 = 1.2
 BM25_B = 0.75
 
@@ -912,6 +914,13 @@ def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLE power-law exponent of the degree distribution (is this graph
+    web-shaped?) — operators/graph_metrics.powerlaw_alpha."""
+    und = symmetrize(edges_from_lineitem(spark, sf_dir))
+    return powerlaw_alpha(und, d_min=PL_DMIN)
+
+
 def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-truss of the co-purchase graph: edges in ≥1 triangle after 3
     peel rounds — the edge-level cohesion filter a hub cannot fake
@@ -1175,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25,
         "hop_distribution": q_hop_distribution,
         "ktruss_3": q_ktruss,
+        "powerlaw_alpha": q_powerlaw_alpha,
     }
 
 
@@ -2557,6 +2567,15 @@ def oracle_sql() -> dict[str, str]:
             _hop_dist_sql(HARMONIC_PIVOTS, HARMONIC_HOPS)
         ),
         "ktruss_3": _materialize(_ktruss_sql(KTRUSS_K, KTRUSS_ROUNDS)),
+        "powerlaw_alpha": (
+            f"WITH {_E}, {_U}, "
+            "deg AS (SELECT src AS id, COUNT(*) AS d FROM u GROUP BY 1), "
+            f"tail AS (SELECT d FROM deg WHERE d >= {PL_DMIN}) "
+            "SELECT COUNT(*) AS n_tail, "
+            f"CAST({PL_DMIN} AS BIGINT) AS d_min, "
+            f"ROUND(1.0 + COUNT(*) / SUM(ln(CAST(d AS DOUBLE) / {PL_DMIN - 0.5!r})), 6) "
+            "AS alpha FROM tail"
+        ),
         "clustering_coeff": _materialize(
             "WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), "
             "pp AS (SELECT a.p AS src, b.p AS dst FROM li a JOIN li b ON a.o = b.o AND a.p < b.p "

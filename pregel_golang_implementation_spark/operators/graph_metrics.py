@@ -107,3 +107,38 @@ def square_count(
         .alias("n_squares"),
         F.lit(excluded).cast("long").alias("excluded_middles"),
     )
+
+
+def powerlaw_alpha(
+    und_edges: DataFrame, d_min: int = 2
+) -> DataFrame:
+    """One row (n_tail, d_min, alpha) — the maximum-likelihood power-law
+    exponent of the degree distribution over vertices with degree ≥
+    ``d_min``: α = 1 + n / Σ ln(d_i / (d_min − ½)) (Clauset, Shalizi &
+    Newman 2009, discrete approximation).  THE one-number answer to "is
+    this graph web-shaped?" — web/link graphs sit near α ≈ 2.1-2.7;
+    uniform-degree graphs blow α upward.
+
+    Cross-engine determinism: degrees are exact integers into ln; the
+    Σ ln(·) accumulates in double (order-dependent at the last ulp) and
+    the final α is rounded to 6dp — the repo's ln/round discipline.
+    Scale shape: one degree aggregate + one 1-row aggregate.
+    """
+    if d_min < 1:
+        raise ValueError(f"d_min must be ≥ 1, got {d_min}")
+    deg = und_edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    tail = deg.filter(F.col("d") >= d_min)
+    return tail.agg(
+        F.count(F.lit(1)).alias("n_tail"),
+        F.lit(d_min).cast("long").alias("d_min"),
+        F.round(
+            F.lit(1.0)
+            + F.count(F.lit(1))
+            / F.sum(
+                F.log(F.col("d").cast("double") / F.lit(d_min - 0.5))
+            ),
+            6,
+        ).alias("alpha"),
+    )

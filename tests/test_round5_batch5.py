@@ -235,3 +235,46 @@ def test_ktruss_rejects_bad_params(spark):
     e = spark.createDataFrame([(1, 2)], "src long, dst long")
     with _pytest.raises(ValueError, match="k must"):
         ktruss_peel(e, k=2, rounds=1)
+
+
+# ---------------------------------------------------------- powerlaw MLE
+
+def test_powerlaw_alpha_recovers_generated_exponent(spark):
+    import math
+    import random
+
+    from pregel_golang_implementation_spark.operators.graph_metrics import (
+        powerlaw_alpha,
+    )
+
+    # degrees drawn by inverse transform from a continuous α=2.5 tail
+    # then truncated to ints (which biases the DISCRETE-approx MLE low —
+    # the distributed result must match the hand formula EXACTLY, and
+    # sit in a loose band around the generating exponent)
+    rng = random.Random(11)
+    alpha_true, d_min = 2.5, 2
+    degs = [
+        min(int(d_min * (1 - rng.random()) ** (-1 / (alpha_true - 1))), 1000)
+        for _ in range(20000)
+    ]
+    rows = [
+        (vid, 1_000_000 + j) for vid, d in enumerate(degs) for j in range(d)
+    ]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    r = powerlaw_alpha(e, d_min=d_min).first()
+    hand = 1 + len(degs) / sum(math.log(d / (d_min - 0.5)) for d in degs)
+    assert abs(r["alpha"] - hand) < 1e-6  # distributed ≡ single-process
+    assert 2.0 < r["alpha"] < 3.0
+    assert r["n_tail"] == 20000
+
+
+def test_powerlaw_alpha_rejects_bad_dmin(spark):
+    import pytest as _pytest
+
+    from pregel_golang_implementation_spark.operators.graph_metrics import (
+        powerlaw_alpha,
+    )
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with _pytest.raises(ValueError, match="d_min"):
+        powerlaw_alpha(e, d_min=0)
