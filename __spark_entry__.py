@@ -49,6 +49,7 @@ from pregel_golang_implementation_spark.operators.label_propagation import (
     seeded_label_spread,
 )
 from pregel_golang_implementation_spark.operators.pagerank import (
+    incremental_pagerank,
     pagerank_spec,
     prepare_pagerank_graph,
 )
@@ -179,6 +180,8 @@ BM25_K = 10
 KTRUSS_K = 3
 KTRUSS_ROUNDS = 3
 PL_DMIN = 2
+INC_PR_PRIOR_ITERS = 3
+INC_PR_ITERS = 3
 BM25_K1 = 1.2
 BM25_B = 0.75
 
@@ -914,6 +917,29 @@ def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank maintenance: PageRank the even-dst subgraph (3 steps from
+    uniform), then warm-start 3 steps over the FULL graph seeded from
+    those ranks (new vertices at 1/N) — the PageRank analogue of
+    incremental_cc (operators/pagerank.incremental_pagerank)."""
+    edges = edges_from_lineitem(spark, sf_dir)
+    sub = edges.filter(F.col("dst") % 2 == 0)
+    sub_edges, sub_vertices = prepare_pagerank_graph(sub)
+    n_a = sub_vertices.count()
+    prior = _runner(spark, pagerank_spec(n_a, damping=0.85, tol=1e-12)).run(
+        sub_edges, vertices=sub_vertices, max_supersteps=INC_PR_PRIOR_ITERS
+    )
+    res = incremental_pagerank(
+        spark,
+        edges,
+        prior.state.select("id", "value"),
+        max_supersteps=INC_PR_ITERS,
+        lineage_break_every=3,
+        steps_per_action=2,
+    )
+    return res.state.select("id", F.round(F.col("value"), 6).alias("rank"))
+
+
 def q_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLE power-law exponent of the degree distribution (is this graph
     web-shaped?) — operators/graph_metrics.powerlaw_alpha."""
@@ -1185,6 +1211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hop_distribution": q_hop_distribution,
         "ktruss_3": q_ktruss,
         "powerlaw_alpha": q_powerlaw_alpha,
+        "incremental_pagerank": q_incremental_pagerank,
     }
 
 
@@ -2155,6 +2182,59 @@ def _betweenness_sql(pivots: int, hops: int) -> str:
     )
 
 
+def _inc_pagerank_sql(
+    prior_iters: int, iters: int, damping: float = 0.85
+) -> str:
+    """Twin of q_incremental_pagerank: the _pagerank_sql recurrence run
+    first over the even-dst subgraph (its own N, degrees, dangling
+    mass), then over the full graph seeded from the subgraph ranks
+    (missing vertices at 1/N_full)."""
+    parts = [
+        _E,
+        _V,
+        "ea AS (SELECT src, dst FROM e WHERE dst % 2 = 0)",
+        "va AS (SELECT src AS id FROM ea UNION SELECT dst AS id FROM ea)",
+        "dega AS (SELECT src, COUNT(*) AS outdeg FROM ea GROUP BY src)",
+        "nna AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM va)",
+        "a0 AS (SELECT id, 1.0 / (SELECT n FROM nna) AS r FROM va)",
+    ]
+    for k in range(1, prior_iters + 1):
+        p = f"a{k - 1}"
+        parts += [
+            f"da{k} AS (SELECT COALESCE(SUM(p.r), 0) AS dm FROM {p} p "
+            f"LEFT JOIN dega ON p.id = dega.src WHERE dega.src IS NULL)",
+            f"ma{k} AS (SELECT ea.dst AS id, SUM(p.r / dega.outdeg) AS s "
+            f"FROM {p} p JOIN ea ON p.id = ea.src "
+            f"JOIN dega ON dega.src = ea.src GROUP BY ea.dst)",
+            f"a{k} AS (SELECT va.id, (1 - {damping}) / (SELECT n FROM nna) + "
+            f"{damping} * (COALESCE(ma{k}.s, 0) + (SELECT dm FROM da{k}) / "
+            f"(SELECT n FROM nna)) AS r FROM va LEFT JOIN ma{k} ON va.id = ma{k}.id)",
+        ]
+    parts += [
+        "deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src)",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v)",
+        f"s0 AS (SELECT v.id, COALESCE(a{prior_iters}.r, 1.0 / (SELECT n FROM nn)) "
+        f"AS r FROM v LEFT JOIN a{prior_iters} ON v.id = a{prior_iters}.id)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"s{k - 1}"
+        parts += [
+            f"d{k} AS (SELECT COALESCE(SUM(p.r), 0) AS dm FROM {p} p "
+            f"LEFT JOIN deg ON p.id = deg.src WHERE deg.src IS NULL)",
+            f"m{k} AS (SELECT e.dst AS id, SUM(p.r / deg.outdeg) AS s "
+            f"FROM {p} p JOIN e ON p.id = e.src JOIN deg ON deg.src = e.src "
+            f"GROUP BY e.dst)",
+            f"s{k} AS (SELECT v.id, (1 - {damping}) / (SELECT n FROM nn) + "
+            f"{damping} * (COALESCE(m{k}.s, 0) + (SELECT dm FROM d{k}) / "
+            f"(SELECT n FROM nn)) AS r FROM v LEFT JOIN m{k} ON v.id = m{k}.id)",
+        ]
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT id, CAST(ROUND(r, 6) AS DOUBLE) AS rank FROM s{iters}"
+    )
+
+
 def _ktruss_sql(k: int, rounds: int) -> str:
     """Twin of q_ktruss: the triangle-support / edge-peel recurrence
     unrolled over the co-purchase edge table."""
@@ -2567,6 +2647,9 @@ def oracle_sql() -> dict[str, str]:
             _hop_dist_sql(HARMONIC_PIVOTS, HARMONIC_HOPS)
         ),
         "ktruss_3": _materialize(_ktruss_sql(KTRUSS_K, KTRUSS_ROUNDS)),
+        "incremental_pagerank": _materialize(
+            _inc_pagerank_sql(INC_PR_PRIOR_ITERS, INC_PR_ITERS)
+        ),
         "powerlaw_alpha": (
             f"WITH {_E}, {_U}, "
             "deg AS (SELECT src AS id, COUNT(*) AS d FROM u GROUP BY 1), "

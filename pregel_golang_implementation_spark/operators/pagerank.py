@@ -242,3 +242,41 @@ def pagerank(
     spec.max_supersteps = max_supersteps
     runner = PregelRunner(spark, spec, **runner_kwargs)
     return runner.run(pr_edges, vertices=vertices)
+
+
+def incremental_pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    prior_ranks: DataFrame,
+    max_supersteps: int,
+    damping: float = 0.85,
+    tol: float = 1e-12,
+    **runner_kwargs,
+):
+    """Warm-started PageRank: re-run the power iteration on the CURRENT
+    graph seeded from a previous run's ranks (vertices the prior never
+    saw start at 1/N) — the rank-maintenance analogue of
+    ``incremental_connected_components``.  Power iteration converges to
+    the damping-determined fixed point from ANY non-degenerate start, so
+    a warm start after a small graph delta is semantically free and
+    saves most of the supersteps a cold 1/N start would need.
+
+    ``prior_ranks``: (id, value).  Note the seeded vector is not
+    re-normalized — after K steps the result is the exact K-step
+    recurrence from that seed (what the oracle unrolls); running to
+    convergence yields the standard PageRank.
+    """
+    pr_edges, vertices = prepare_pagerank_graph(edges)
+    n = vertices.count()
+    seeded = vertices.join(
+        prior_ranks.select("id", F.col("value").alias("_p")), "id", "left"
+    ).select(
+        F.col("id").cast("long"),
+        F.coalesce(F.col("_p"), F.lit(1.0 / n)).cast("double").alias("value"),
+        F.lit(True).alias("active"),
+        F.col("is_dangling"),
+    )
+    runner = PregelRunner(
+        spark, pagerank_spec(n, damping=damping, tol=tol), **runner_kwargs
+    )
+    return runner.run(pr_edges, state=seeded, max_supersteps=max_supersteps)

@@ -278,3 +278,39 @@ def test_powerlaw_alpha_rejects_bad_dmin(spark):
     e = spark.createDataFrame([(1, 2)], "src long, dst long")
     with _pytest.raises(ValueError, match="d_min"):
         powerlaw_alpha(e, d_min=0)
+
+
+# ------------------------------------------------------ incremental PR
+
+def test_incremental_pagerank_fixed_point_invariant(spark):
+    from pregel_golang_implementation_spark.operators.pagerank import (
+        incremental_pagerank,
+        pagerank,
+    )
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 1)], "src long, dst long"
+    ).withColumn("weight", F.lit(1.0))
+    converged = pagerank(spark, e, tol=1e-12)
+    assert converged.converged
+    # warm-starting FROM the fixed point must stay at the fixed point
+    again = incremental_pagerank(
+        spark, e, converged.state.select("id", "value"), max_supersteps=2
+    )
+    a = {r["id"]: r["value"] for r in converged.state.collect()}
+    b = {r["id"]: r["value"] for r in again.state.collect()}
+    assert all(abs(a[i] - b[i]) < 1e-9 for i in a)
+
+
+def test_incremental_pagerank_seeds_new_vertices(spark):
+    from pregel_golang_implementation_spark.operators.pagerank import (
+        incremental_pagerank,
+    )
+
+    e = spark.createDataFrame([(1, 2), (2, 1), (2, 3)], "src long, dst long")
+    # prior knows only vertices 1,2; vertex 3 must seed at 1/N and rank
+    prior = spark.createDataFrame([(1, 0.5), (2, 0.5)], "id long, value double")
+    res = incremental_pagerank(spark, e, prior, max_supersteps=3)
+    got = {r["id"]: r["value"] for r in res.state.collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[3] > 0
