@@ -67,6 +67,7 @@ from pregel_golang_implementation_spark.operators.similarity import (
 from pregel_golang_implementation_spark.operators.events import funnel, last_touch
 from pregel_golang_implementation_spark.operators.graph_metrics import (
     degree_assortativity,
+    partition_quality,
     powerlaw_alpha,
     square_count,
 )
@@ -182,6 +183,7 @@ KTRUSS_ROUNDS = 3
 PL_DMIN = 2
 INC_PR_PRIOR_ITERS = 3
 INC_PR_ITERS = 3
+PQUAL_PARTS = 8
 BM25_K1 = 1.2
 BM25_B = 0.75
 
@@ -917,6 +919,27 @@ def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_partition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-cut and balance of two vertex-placement strategies over the
+    undirected graph — naive id-mod versus community-aligned (CC label
+    mod P): the pre-launch numbers that decide per-superstep network
+    cost at cluster scale (operators/graph_metrics.partition_quality)."""
+    und = symmetrize(edges_from_lineitem(spark, sf_dir))
+    comp = q_cc(spark, sf_dir)
+    a = comp.select(
+        F.lit("mod").alias("strategy"),
+        "id",
+        (F.col("id") % PQUAL_PARTS).alias("part"),
+    ).unionByName(
+        comp.select(
+            F.lit("community").alias("strategy"),
+            "id",
+            (F.col("component") % PQUAL_PARTS).alias("part"),
+        )
+    )
+    return partition_quality(und, a, PQUAL_PARTS)
+
+
 def q_incremental_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank maintenance: PageRank the even-dst subgraph (3 steps from
     uniform), then warm-start 3 steps over the FULL graph seeded from
@@ -1212,6 +1235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss_3": q_ktruss,
         "powerlaw_alpha": q_powerlaw_alpha,
         "incremental_pagerank": q_incremental_pagerank,
+        "partition_quality": q_partition_quality,
     }
 
 
@@ -2182,6 +2206,36 @@ def _betweenness_sql(pivots: int, hops: int) -> str:
     )
 
 
+def _partition_quality_sql(cc_iters: int, parts_n: int) -> str:
+    """Twin of q_partition_quality: the cc chain for community labels,
+    then per-strategy edge-cut and balance from exact integer counts."""
+    chain = [_E, _U, _V, "s0 AS (SELECT id, id AS val FROM v)"]
+    for k in range(1, cc_iters + 1):
+        p = f"s{k - 1}"
+        chain += [
+            f"m{k} AS (SELECT u.dst AS id, MIN(p.val) AS mv FROM {p} p "
+            f"JOIN u ON p.id = u.src GROUP BY u.dst)",
+            f"s{k} AS (SELECT {p}.id, LEAST({p}.val, COALESCE(m{k}.mv, {p}.val)) "
+            f"AS val FROM {p} LEFT JOIN m{k} ON {p}.id = m{k}.id)",
+        ]
+    return (
+        "WITH "
+        + ", ".join(chain)
+        + f", comp AS (SELECT id, CAST(val AS BIGINT) AS component FROM s{cc_iters}), "
+        f"asn AS (SELECT 'mod' AS strategy, id, id % {parts_n} AS part FROM comp "
+        f"UNION ALL SELECT 'community', id, component % {parts_n} FROM comp), "
+        "cut AS (SELECT a1.strategy, COUNT(*) AS ne, "
+        "SUM(CASE WHEN a1.part <> a2.part THEN 1 ELSE 0 END) AS nc "
+        "FROM u JOIN asn a1 ON u.src = a1.id "
+        "JOIN asn a2 ON u.dst = a2.id AND a2.strategy = a1.strategy GROUP BY 1), "
+        "sz AS (SELECT strategy, part, COUNT(*) AS s FROM asn GROUP BY 1, 2), "
+        "bal AS (SELECT strategy, MAX(s) AS mx, SUM(s) AS nv FROM sz GROUP BY 1) "
+        "SELECT cut.strategy, ROUND(nc::DOUBLE / ne::DOUBLE, 6) AS cut_frac, "
+        f"ROUND(mx::DOUBLE / (nv::DOUBLE / {float(parts_n)!r}), 6) AS balance "
+        "FROM cut JOIN bal ON cut.strategy = bal.strategy"
+    )
+
+
 def _inc_pagerank_sql(
     prior_iters: int, iters: int, damping: float = 0.85
 ) -> str:
@@ -2649,6 +2703,9 @@ def oracle_sql() -> dict[str, str]:
         "ktruss_3": _materialize(_ktruss_sql(KTRUSS_K, KTRUSS_ROUNDS)),
         "incremental_pagerank": _materialize(
             _inc_pagerank_sql(INC_PR_PRIOR_ITERS, INC_PR_ITERS)
+        ),
+        "partition_quality": _materialize(
+            _partition_quality_sql(CC_ITERS, PQUAL_PARTS)
         ),
         "powerlaw_alpha": (
             f"WITH {_E}, {_U}, "

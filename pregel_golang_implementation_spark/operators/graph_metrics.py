@@ -142,3 +142,61 @@ def powerlaw_alpha(
             6,
         ).alias("alpha"),
     )
+
+
+def partition_quality(
+    und_edges: DataFrame,
+    assignments: DataFrame,
+    num_parts: int,
+) -> DataFrame:
+    """(strategy, cut_frac, balance) — evaluate vertex→partition
+    placements by the two numbers that decide shuffle cost at cluster
+    scale: the EDGE-CUT fraction (edges whose endpoints land in
+    different partitions — each one is a network message every
+    superstep) and the BALANCE (largest partition ÷ ideal size — the
+    straggler bound).  The reference hardcodes contiguous range
+    partitioning (/root/reference/InputParsing.go:57-68) and never
+    measures either; this makes placement choices comparable before a
+    10^12-edge job is launched.
+
+    ``assignments``: (id, strategy, part) — any number of candidate
+    strategies evaluated in one pass each.  Ratios are exact integer
+    counts into one IEEE division, 6dp round (cross-engine stable).
+
+    Scale shape per strategy: two co-partitioned joins keyed by the
+    vertex id (the layout every superstep already uses) + two tiny-key
+    aggregates; nothing vertex-quadratic.
+    """
+    e = und_edges.select("src", "dst")
+    a = assignments.select(
+        "strategy", F.col("id").cast("long").alias("id"), F.col("part")
+    )
+    cut = (
+        e.join(a.select("strategy", F.col("id").alias("src"),
+                        F.col("part").alias("_ps")), "src")
+        .join(
+            a.select("strategy", F.col("id").alias("dst"),
+                     F.col("part").alias("_pd")),
+            ["strategy", "dst"],
+        )
+        .groupBy("strategy")
+        .agg(
+            F.count(F.lit(1)).alias("_n_edges"),
+            F.sum((F.col("_ps") != F.col("_pd")).cast("long")).alias("_n_cut"),
+        )
+    )
+    sizes = a.groupBy("strategy", "part").agg(F.count(F.lit(1)).alias("_sz"))
+    bal = sizes.groupBy("strategy").agg(
+        F.max("_sz").alias("_max_sz"), F.sum("_sz").alias("_n_v")
+    )
+    return cut.join(bal, "strategy").select(
+        "strategy",
+        F.round(
+            F.col("_n_cut").cast("double") / F.col("_n_edges").cast("double"), 6
+        ).alias("cut_frac"),
+        F.round(
+            F.col("_max_sz").cast("double")
+            / (F.col("_n_v").cast("double") / F.lit(float(num_parts))),
+            6,
+        ).alias("balance"),
+    )

@@ -314,3 +314,30 @@ def test_incremental_pagerank_seeds_new_vertices(spark):
     got = {r["id"]: r["value"] for r in res.state.collect()}
     assert set(got) == {1, 2, 3}
     assert got[3] > 0
+
+
+# ------------------------------------------------------ partition quality
+
+def test_partition_quality_cut_and_balance(spark):
+    from pregel_golang_implementation_spark.operators.graph_metrics import (
+        partition_quality,
+    )
+
+    # two 3-cliques {0,1,2} and {3,4,5}; "good" puts each clique in one
+    # part (zero cut), "bad" splits across parts by parity
+    cliq = [(a, b) for a in range(3) for b in range(a + 1, 3)]
+    cliq += [(a, b) for a in range(3, 6) for b in range(a + 1, 6)]
+    und = _und(spark, cliq)
+    rows = [("good", i, i // 3) for i in range(6)] + [
+        ("bad", i, i % 2) for i in range(6)
+    ]
+    a = spark.createDataFrame(rows, "strategy string, id long, part long")
+    got = {
+        r["strategy"]: (r["cut_frac"], r["balance"])
+        for r in partition_quality(und, a, num_parts=2).collect()
+    }
+    assert got["good"] == (0.0, 1.0)  # clique-aligned: no cut, balanced
+    # parity split cuts 2 of 3 edges in each clique (both directions of
+    # the symmetrized table count, ratio unchanged)
+    assert abs(got["bad"][0] - 2 / 3) < 1e-6
+    assert got["bad"][1] == 1.0
