@@ -276,7 +276,14 @@ class PregelRunner:
             F.col("active").cast("boolean"),
             *[F.col(c) for c in self.spec.static_cols],
         ).select(*cols)
-        return state.repartition(self.num_partitions, "id").localCheckpoint(eager=True)
+        # persist, NOT eager localCheckpoint (r6): a checkpoint erases the
+        # hash(id) partitioning metadata, so superstep 1's state⋈messages
+        # joins re-shuffled the state it had JUST laid out — the persist
+        # keeps the partitioning visible exactly like every later
+        # superstep's state cache.  Materialization rides the next action
+        # (collect_globals or the first block's barrier); the loop
+        # releases it as the zeroth `prev_cached`.
+        return state.repartition(self.num_partitions, "id").persist()
 
     def _collect_globals(self, state: DataFrame) -> dict:
         if not self.spec.global_aggs:
@@ -445,7 +452,7 @@ class PregelRunner:
         or to ``max_supersteps``."""
         spec = self.spec
         max_steps = max_supersteps or spec.max_supersteps
-        if state is None and vertices is None:
+        if state is None and vertices is None and self._salting:
             # derive vertices from the UNSALTED edges — salting (below)
             # rewrites hub dst ids into a reserved negative key space that
             # must never become vertex state
@@ -453,6 +460,12 @@ class PregelRunner:
                 edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
             )
         edges = self._prepare_edges(edges)
+        if state is None and vertices is None:
+            # unsalted: derive vertices from the PREPARED (cached,
+            # partitioned) edge table instead of the raw input — the
+            # distinct reads the edge cache rather than re-running the
+            # source scan lineage a second time (r6)
+            vertices = self.vertices_from_edges(edges)
         try:
             return self._run_loop(
                 edges, vertices, state, start_superstep, max_steps
@@ -474,8 +487,12 @@ class PregelRunner:
         max_steps: int,
     ) -> PregelResult:
         spec = self.spec
+        prev_cached = None  # the previous superstep's persisted new_state
         if state is None:
             state = self._init_state(vertices)
+            # the init persist is the zeroth block cache: released after
+            # the first block materializes, like every later new_state
+            prev_cached = state
         g = self._collect_globals(state)
         prev_active = -1  # unknown → don't broadcast on step 1
 
@@ -483,7 +500,6 @@ class PregelRunner:
         step = start_superstep
         converged = False
         last_ckpt_step = None
-        prev_cached = None  # the previous superstep's persisted new_state
         # persist keeps the hash(id) output partitioning visible to the
         # planner (localCheckpoint would erase it and force a re-shuffle
         # of state on every join). Metrics + global aggregates ride on
