@@ -43,6 +43,26 @@ def _tokens(text_col: str) -> Column:
     return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
 
 
+def _shingle_rows(docs: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, shingle) — word n-grams per document WITHOUT the distinct:
+    multiset view, zero shuffles.  Consumers whose aggregate is
+    multiset-invariant (MinHash's per-seed ``min``) use this directly so
+    the only shuffle they pay is their own tiny per-doc aggregate —
+    shuffling distinct shingle STRINGS first moves orders of magnitude
+    more bytes for an identical result.  Set-semantics consumers
+    (Jaccard counts) go through ``word_shingles``."""
+    toked = docs.select(F.col(id_col).alias("doc_id"), _tokens(text_col).alias("_toks"))
+    t = F.col("_toks")
+    shingle_arr = F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(n)]),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", t)))
+    return toked.select("doc_id", F.explode(shingle_arr).alias("shingle"))
+
+
 def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, shingle) — distinct word n-grams per document.  Pure
     higher-order functions (transform over an index sequence) — codegen,
@@ -54,19 +74,26 @@ def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: s
     text per shingle) — measured 8.8× slower.  CollapseProject keeps the
     two projections apart because the alias is referenced many times by a
     non-cheap expression."""
-    toked = docs.select(F.col(id_col).alias("doc_id"), _tokens(text_col).alias("_toks"))
-    t = F.col("_toks")
-    shingle_arr = F.when(
-        F.size(t) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(t) - n),
-            lambda i: F.concat_ws(" ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(n)]),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", t)))
-    return toked.select("doc_id", F.explode(shingle_arr).alias("shingle")).distinct()
+    return _shingle_rows(docs, n, text_col, id_col).distinct()
 
 
 # ---------------------------------------------------------------- minhash
+
+def _seed_hash(hash_fn: str):
+    """seed -> Column: the seeded shingle hash family shared by the
+    signature and fused-band paths (identical expressions, so the fused
+    pipeline is value-identical to signatures → bands)."""
+    if hash_fn == "md5":
+        def h(s: int):
+            return F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))
+    elif hash_fn == "xxhash":
+        def h(s: int):
+            # int32 seed — the type feeds the hash, keep it stable
+            return F.xxhash64("shingle", F.lit(s).cast("int")).cast("string")
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    return h
+
 
 def minhash_signatures(
     shingles: DataFrame, num_hashes: int = 16, hash_fn: str = "md5"
@@ -85,15 +112,7 @@ def minhash_signatures(
     minhash) with a tiny per-doc explode. Values are identical to the
     exploded formulation (same hash family, same min).
     """
-    if hash_fn == "md5":
-        def h(s: int):
-            return F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))
-    elif hash_fn == "xxhash":
-        def h(s: int):
-            # int32 seed — the type feeds the hash, keep it stable
-            return F.xxhash64("shingle", F.lit(s).cast("int")).cast("string")
-    else:
-        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    h = _seed_hash(hash_fn)
     wide = shingles.groupBy("doc_id").agg(
         *[F.min(h(s)).alias(f"_h{s}") for s in range(num_hashes)]
     )
@@ -126,6 +145,64 @@ def lsh_bands(signatures: DataFrame, rows_per_band: int = 4) -> DataFrame:
                 ",",
             )
         ).alias("band_key")
+    )
+
+
+def minhash_bands(
+    docs: DataFrame,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    rows_per_band: int = 4,
+    hash_fn: str = "md5",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, band, band_key) — value-identical to
+    ``lsh_bands(minhash_signatures(word_shingles(docs)))`` with TWO of
+    that pipeline's three shuffles fused away (r6, guide §2.3/2.4):
+
+      - the shingle ``distinct`` is skipped: ``min`` is multiset-
+        invariant, so hashing duplicate shingles changes nothing — and
+        the distinct shuffled every shingle STRING, by far the heaviest
+        exchange of the pipeline;
+      - the signature unpivot → per-(doc, band) re-aggregation is
+        replaced by computing each band key directly from the wide
+        min-hash row: the band elements are the seed-prefixed minhashes
+        ("0007:<minhash>"), whose ``array_sort`` order is seed order by
+        construction (fixed-width zero-padded prefixes), so the sorted
+        collect_list md5 equals an ordered concat of the wide columns.
+
+    The only shuffle left is the per-doc aggregate of map-side partial
+    minima — at corpus scale that exchange carries one slim wide row per
+    (map partition, doc) instead of every shingle."""
+    if num_hashes % rows_per_band != 0:
+        raise ValueError("num_hashes must split evenly into rows_per_band bands")
+    h = _seed_hash(hash_fn)
+    sh = _shingle_rows(docs, shingle_n, text_col, id_col)
+    wide = sh.groupBy("doc_id").agg(
+        *[F.min(h(s)).alias(f"_h{s}") for s in range(num_hashes)]
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.concat_ws(":", F.lit(f"{s:04d}"), F.col(f"_h{s}"))
+                            for s in range(
+                                b * rows_per_band, (b + 1) * rows_per_band
+                            )
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(num_hashes // rows_per_band)
+        ]
+    )
+    return wide.select("doc_id", F.explode(bands).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key")
     )
 
 
@@ -189,11 +266,18 @@ def minhash_dedup(
     recovered via ``exact_duplicates``/``near_dup_clusters``."""
     if collapse_exact:
         docs = exact_representatives(docs, text_col=text_col, id_col=id_col)
-    sh = word_shingles(docs, n=shingle_n, text_col=text_col, id_col=id_col)
-    sig = minhash_signatures(sh, num_hashes=num_hashes, hash_fn=hash_fn)
-    return lsh_candidate_pairs(
-        lsh_bands(sig, rows_per_band=rows_per_band), max_bucket_size=max_bucket_size
+    # fused banding (r6): identical band keys to signatures → lsh_bands,
+    # with the shingle-distinct and unpivot/regroup shuffles removed
+    bands = minhash_bands(
+        docs,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        rows_per_band=rows_per_band,
+        hash_fn=hash_fn,
+        text_col=text_col,
+        id_col=id_col,
     )
+    return lsh_candidate_pairs(bands, max_bucket_size=max_bucket_size)
 
 
 def exact_representatives(
@@ -396,8 +480,10 @@ def near_dup_clusters(
     # (which at 100 TB would mean caching every token of the corpus).
     # Measured: the persist variant was ~30% slower even at sf0.1.
     sh = word_shingles(reps, n=shingle_n)
-    sig = minhash_signatures(sh, num_hashes=num_hashes)
-    bands = lsh_bands(sig, rows_per_band=rows_per_band)
+    # fused banding (r6): same band keys as signatures → lsh_bands with
+    # two fewer shuffles; `sh` stays the verify side's set-semantics view
+    bands = minhash_bands(reps, shingle_n=shingle_n, num_hashes=num_hashes,
+                          rows_per_band=rows_per_band)
     bands_cached = None
     if max_bucket_size is not None:
         # the occupancy probe below is an EAGER action over bands, and the
