@@ -19,13 +19,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def canonical_edges(edges: DataFrame, degree_order: bool = True) -> DataFrame:
+def canonical_edges(
+    edges: DataFrame, degree_order: bool = True, _caches: list | None = None
+) -> DataFrame:
     """Undirected edge set, one row per unordered pair, no self-loops.
 
     degree_order=True re-orients each edge from the lower-(degree, id)
     endpoint to the higher one (total order, so still one row per pair) —
     use for skewed graphs at scale.
-    """
+
+    ``_caches`` (internal): when a list is passed, the deduped and
+    re-oriented edge tables are persisted and appended to it — the
+    oriented table is consumed THREE times by the wedge joins (e1, e2,
+    e3) and its dedup lineage twice more by the degree computation;
+    uncached, Catalyst expands each consumer into its own copy of the
+    whole upstream subtree (r6 plan audit of the bench copurchase graph:
+    91 Exchange / 30 source-scan nodes, zero reuse).  The caller owns
+    the unpersist."""
     e = (
         edges.select(
             F.least(F.col("src"), F.col("dst")).cast("long").alias("src"),
@@ -34,6 +44,9 @@ def canonical_edges(edges: DataFrame, degree_order: bool = True) -> DataFrame:
         .filter(F.col("src") != F.col("dst"))
         .dropDuplicates(["src", "dst"])
     )
+    if _caches is not None:
+        e = e.persist()
+        _caches.append(e)
     if not degree_order:
         return e
     deg = (
@@ -57,6 +70,9 @@ def canonical_edges(edges: DataFrame, degree_order: bool = True) -> DataFrame:
         )
         .select(F.col("uv.u").alias("src"), F.col("uv.v").alias("dst"))
     )
+    if _caches is not None:
+        ordered = ordered.persist()
+        _caches.append(ordered)
     return ordered
 
 
@@ -69,9 +85,11 @@ def _wedges(e: DataFrame) -> DataFrame:
     return e1.join(e2, "b").select("a", "b", "c")
 
 
-def _triangle_rows(edges: DataFrame, degree_order: bool) -> DataFrame:
+def _triangle_rows(
+    edges: DataFrame, degree_order: bool, _caches: list | None = None
+) -> DataFrame:
     """(a, b, c) — one row per triangle under the chosen orientation."""
-    e = canonical_edges(edges, degree_order=degree_order)
+    e = canonical_edges(edges, degree_order=degree_order, _caches=_caches)
     wedges = _wedges(e)
     e3 = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
     return wedges.join(e3, ["a", "c"]).select("a", "b", "c")
@@ -81,18 +99,33 @@ def triangle_count(
     spark: SparkSession, edges: DataFrame, degree_order: bool = True
 ) -> int:
     """Global triangle count (exact — oracle: brute force over src<dst set)."""
-    return _triangle_rows(edges, degree_order).count()
+    caches: list[DataFrame] = []
+    try:
+        return _triangle_rows(edges, degree_order, _caches=caches).count()
+    finally:
+        for c in caches:
+            c.unpersist()
 
 
 def triangles_per_vertex(
     spark: SparkSession, edges: DataFrame, degree_order: bool = True
 ) -> DataFrame:
     """(id, triangles) — every triangle credits all three corners.
-    Vertices in no triangle are absent (count 0 implied)."""
-    tri = _triangle_rows(edges, degree_order)
-    corners = (
-        tri.select(F.col("a").alias("id"))
-        .union(tri.select(F.col("b").alias("id")))
-        .union(tri.select(F.col("c").alias("id")))
-    )
-    return corners.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))
+    Vertices in no triangle are absent (count 0 implied).
+
+    Eager (r6): the result is materialized before the canonical-edge
+    caches are released — the per-vertex frame is |triangle vertices|
+    rows, far below the edge table it is derived from."""
+    caches: list[DataFrame] = []
+    try:
+        tri = _triangle_rows(edges, degree_order, _caches=caches)
+        corners = (
+            tri.select(F.col("a").alias("id"))
+            .union(tri.select(F.col("b").alias("id")))
+            .union(tri.select(F.col("c").alias("id")))
+        )
+        out = corners.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        for c in caches:
+            c.unpersist()
