@@ -75,8 +75,11 @@ def betweenness_sampled(
     δ(id), pairs beyond ``hops`` contributing zero; rounded to 6dp.
     Vertices with zero accumulated dependency are omitted (they are
     never interior to any sampled shortest path)."""
-    e = und_edges.select("src", "dst")
-    fwd = brandes_forward(und_edges, pivots, hops)
+    # one edge projection probed by every forward hop AND every backward
+    # layer step (2·H consumers) — persist for the call, release after
+    # the (≤ V rows) result is materialized (r6)
+    e = und_edges.select("src", "dst").persist()
+    fwd = brandes_forward(e, pivots, hops)
     layers = {
         h: fwd.filter(F.col("dist") == h).localCheckpoint(eager=False)
         for h in range(hops + 1)
@@ -118,9 +121,13 @@ def betweenness_sampled(
     from functools import reduce
 
     per_pair = reduce(lambda a, b: a.unionByName(b), finals)
-    return (
+    out = (
         per_pair.filter(F.col("id") != F.col("pv"))
         .groupBy("id")
         .agg(F.round(F.sum("delta"), 6).alias("betweenness"))
         .filter(F.col("betweenness") > 0.0)
     )
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        e.unpersist()

@@ -60,9 +60,12 @@ def greedy_coloring(
     if make_runner is None:
         make_runner = lambda spec: PregelRunner(spark, spec)  # noqa: E731
 
+    # probed by two semi-joins + the runner's edge prep EVERY color round
+    # — persist for the call; released after the colored result (≤ V
+    # rows) is materialized below (r6)
     edges = edges.select(
         F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
-    )
+    ).persist()
     vertices = (
         edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))
@@ -97,4 +100,7 @@ def greedy_coloring(
     for frame in assigned[1:]:
         out = out.unionByName(frame)
     leftover = uncolored.select("id", F.lit(-1).cast("long").alias("color"))
-    return out.unionByName(leftover)
+    try:
+        return out.unionByName(leftover).localCheckpoint(eager=True)
+    finally:
+        edges.unpersist()

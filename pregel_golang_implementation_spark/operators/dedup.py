@@ -227,6 +227,10 @@ def lsh_candidate_pairs(bands: DataFrame, max_bucket_size: int | None = None) ->
     the cap are skipped (use ``oversized_buckets`` for the dropped set;
     collapse exact duplicates FIRST — ``minhash_dedup(collapse_exact=
     True)`` — so caps only ever bite genuinely distinct text)."""
+    # the self-join consumes `bands` twice (plus the occupancy filter when
+    # capped) and exchange reuse does not fire across the copies (r6 plan
+    # audit) — pin the frame so its upstream aggregation runs once
+    bands = bands.localCheckpoint(eager=False)
     if max_bucket_size is not None:
         ok = (
             bands.groupBy("band", "band_key")
@@ -234,7 +238,9 @@ def lsh_candidate_pairs(bands: DataFrame, max_bucket_size: int | None = None) ->
             .filter(F.col("_n") <= max_bucket_size)
             .select("band", "band_key")
         )
-        bands = bands.join(ok, ["band", "band_key"], "left_semi")
+        bands = bands.join(ok, ["band", "band_key"], "left_semi").localCheckpoint(
+            eager=False
+        )
     l = bands.select(F.col("band"), F.col("band_key"), F.col("doc_id").alias("doc_a"))
     r = bands.select(F.col("band"), F.col("band_key"), F.col("doc_id").alias("doc_b"))
     return (
@@ -329,7 +335,10 @@ def ngram_jaccard(
         # shingle)) so only candidate pairs' shingles ever co-occur.
         pairs = pairs.select("doc_a", "doc_b").filter(
             F.col("doc_a") < F.col("doc_b")
-        ).distinct()
+        ).distinct().localCheckpoint(eager=False)
+        # pinned: the pair list is consumed FIVE times below (cand_docs
+        # union ×2, both semi-join sides, the inter driver) and each copy
+        # would otherwise re-run the whole candidate pipeline (r6)
         cand_docs = (
             pairs.select(F.col("doc_a").alias("doc_id"))
             .union(pairs.select(F.col("doc_b").alias("doc_id")))

@@ -34,11 +34,16 @@ def hits(
     """(id, hub, authority) over the DIRECTED edge list after
     ``iterations`` rounds from the all-ones start; isolated-direction
     vertices (no in-edges / no out-edges) hold score 0 for that role."""
-    e = edges.select("src", "dst")
+    # e and v are probed twice per iteration — persist for the call (r6);
+    # per half-step the raw-score frame is pinned lazily so its two
+    # consumers (per-vertex scores + the normalization total) share one
+    # execution of the scatter join instead of running it twice
+    e = edges.select("src", "dst").persist()
     v = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
+        .persist()
     )
     state = v.select("id", F.lit(1.0).alias("h")).localCheckpoint(eager=True)
     auth = None
@@ -47,6 +52,7 @@ def hits(
             e.join(state.select(F.col("id").alias("src"), "h"), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum("h").alias("s"))
+            .localCheckpoint(eager=False)
         )
         a = (
             v.join(a_raw, "id", "left")
@@ -59,6 +65,7 @@ def hits(
             e.join(a.select(F.col("id").alias("dst"), "a"), "dst")
             .groupBy(F.col("src").alias("id"))
             .agg(F.sum("a").alias("s"))
+            .localCheckpoint(eager=False)
         )
         state = (
             v.join(h_raw, "id", "left")
@@ -77,4 +84,8 @@ def hits(
             F.round("hub", round_to).alias("hub"),
             F.round("authority", round_to).alias("authority"),
         )
-    return out
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        e.unpersist()
+        v.unpersist()

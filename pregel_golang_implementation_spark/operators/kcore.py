@@ -52,19 +52,26 @@ def kcore_peel(
     if rounds < 1:
         raise ValueError(f"rounds must be ≥ 1, got {rounds}")
 
-    deg = edges.groupBy(F.col("src").alias("id")).agg(
-        F.count(F.lit(1)).alias("degree")
-    )
-    alive = deg.filter(F.col("degree") >= k)
-    for r in range(rounds - 1):
-        alive = alive.localCheckpoint(eager=False)
-        alive_src = alive.select(F.col("id").alias("src"))
-        alive_dst = alive.select(F.col("id").alias("dst"))
-        induced = edges.join(alive_src, "src", "left_semi").join(
-            alive_dst, "dst", "left_semi"
-        )
-        deg = induced.groupBy(F.col("src").alias("id")).agg(
+    # the edge table is probed 2× per round (src/dst semi-joins); persist
+    # it for the call instead of re-running its lineage every round, and
+    # materialize the (≤ V rows) survivor set before releasing (r6)
+    edges = edges.persist()
+    try:
+        deg = edges.groupBy(F.col("src").alias("id")).agg(
             F.count(F.lit(1)).alias("degree")
         )
         alive = deg.filter(F.col("degree") >= k)
-    return alive
+        for r in range(rounds - 1):
+            alive = alive.localCheckpoint(eager=False)
+            alive_src = alive.select(F.col("id").alias("src"))
+            alive_dst = alive.select(F.col("id").alias("dst"))
+            induced = edges.join(alive_src, "src", "left_semi").join(
+                alive_dst, "dst", "left_semi"
+            )
+            deg = induced.groupBy(F.col("src").alias("id")).agg(
+                F.count(F.lit(1)).alias("degree")
+            )
+            alive = deg.filter(F.col("degree") >= k)
+        return alive.localCheckpoint(eager=True)
+    finally:
+        edges.unpersist()

@@ -63,36 +63,52 @@ def kmeans_assign(
     """(vec_id, cluster) after ``iters`` Lloyd iterations seeded from the
     ``k`` smallest-id vectors, plus one final assignment against the last
     centroids.  Deterministic end to end (see module docstring)."""
-    emb = emb.select(F.col(id_col).cast("long").alias(id_col), "embedding")
-    init = (
-        emb.filter(F.col(id_col) < k)
-        .orderBy(id_col)
-        # round seeds with the SQL ROUND (half-up) — Python's round() is
-        # half-to-even and would diverge from the oracle's ROUND on ties
-        .select(
-            F.transform(
-                F.col("embedding").cast("array<double>"), lambda x: F.round(x, 6)
-            ).alias("c")
-        )
-        .collect()
-    )
-    if len(init) != k:
-        raise ValueError(f"kmeans seed needs vec ids 0..{k - 1} present")
-    centroids = [list(row["c"]) for row in init]
-    for _ in range(iters):
-        a = _assign(emb, centroids)
-        means = (
-            a.groupBy("cluster")
-            .agg(
-                *[
-                    F.round(F.avg(F.col("embedding")[d].cast("double")), 6).alias(
-                        f"c{d}"
-                    )
-                    for d in range(dim)
-                ]
+    # each Lloyd iteration re-scans the embedding table (assignment +
+    # per-cluster means) — persist it for the call; released after the
+    # final (vec_id, cluster) assignment is materialized (r6)
+    emb = emb.select(F.col(id_col).cast("long").alias(id_col), "embedding").persist()
+    try:
+        init = (
+            emb.filter(F.col(id_col) < k)
+            .orderBy(id_col)
+            # round seeds with the SQL ROUND (half-up) — Python's round() is
+            # half-to-even and would diverge from the oracle's ROUND on ties
+            .select(
+                F.transform(
+                    F.col("embedding").cast("array<double>"), lambda x: F.round(x, 6)
+                ).alias("c")
             )
             .collect()
         )
-        by_k = {int(r["cluster"]): [r[f"c{d}"] for d in range(dim)] for r in means}
-        centroids = [by_k.get(i, centroids[i]) for i in range(k)]
-    return _assign(emb, centroids).select(id_col, "cluster")
+        if len(init) != k:
+            raise ValueError(f"kmeans seed needs vec ids 0..{k - 1} present")
+        bad = [len(row["c"]) for row in init if len(row["c"]) != dim]
+        if bad:
+            # ADVICE r5: a dim mismatch used to null-pad through zip_with
+            # and silently degrade every distance — fail loudly instead
+            raise ValueError(
+                f"kmeans_assign: dim={dim} but seed embeddings have length "
+                f"{bad[0]} — pass the table's true embedding dimension"
+            )
+        centroids = [list(row["c"]) for row in init]
+        for _ in range(iters):
+            a = _assign(emb, centroids)
+            means = (
+                a.groupBy("cluster")
+                .agg(
+                    *[
+                        F.round(F.avg(F.col("embedding")[d].cast("double")), 6).alias(
+                            f"c{d}"
+                        )
+                        for d in range(dim)
+                    ]
+                )
+                .collect()
+            )
+            by_k = {int(r["cluster"]): [r[f"c{d}"] for d in range(dim)] for r in means}
+            centroids = [by_k.get(i, centroids[i]) for i in range(k)]
+        return _assign(emb, centroids).select(id_col, "cluster").localCheckpoint(
+            eager=True
+        )
+    finally:
+        emb.unpersist()

@@ -68,7 +68,10 @@ def scc_fwbw(
     nothing); ``trim_rounds``/``outer_rounds`` budget the peeling.  With
     ``strict`` a non-empty remainder raises ValueError instead of
     silently returning partial labels."""
-    e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    # the directed edge projection is probed 2× per trim round, once per
+    # post-trim restriction and by both label runs — persist it for the
+    # call (released after the result is materialized below, r6)
+    e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long")).persist()
     remaining = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
@@ -121,11 +124,16 @@ def scc_fwbw(
         )
         assigned.append(peel)
         remaining = remaining.join(peel.select("id"), "id", "left_anti")
-    if strict:
-        leftover = remaining.count()
-        if leftover:
-            raise ValueError(
-                f"scc_fwbw: {leftover} vertices unassigned after "
-                f"{outer_rounds} round(s) — raise outer_rounds/inner_iters"
-            )
-    return reduce(lambda a, b: a.unionByName(b), assigned)
+    try:
+        if strict:
+            leftover = remaining.count()
+            if leftover:
+                raise ValueError(
+                    f"scc_fwbw: {leftover} vertices unassigned after "
+                    f"{outer_rounds} round(s) — raise outer_rounds/inner_iters"
+                )
+        # materialize (≤ V rows) before the edge cache is released
+        out = reduce(lambda a, b: a.unionByName(b), assigned)
+        return out.localCheckpoint(eager=True)
+    finally:
+        e.unpersist()

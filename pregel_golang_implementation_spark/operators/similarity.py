@@ -188,7 +188,12 @@ def ann_candidates(
     embedding clusters put k vectors in one bucket → k²/2 pairs from one
     reducer); buckets above the cap are skipped.  Use
     ``oversized_srp_buckets`` to report what was dropped — never silent."""
+    # pinned: the bucket frame feeds the self-join twice (plus the
+    # occupancy filter when capped); without the pin each copy re-scans
+    # the embeddings and recomputes every projection (r6 — no exchange
+    # reuse fires in this Spark build)
     bk = srp_buckets(embeddings, bits=bits, id_col=id_col, vec_col=vec_col)
+    bk = bk.localCheckpoint(eager=False)
     if max_bucket_size is not None:
         ok = (
             bk.groupBy("bucket")
@@ -196,7 +201,7 @@ def ann_candidates(
             .filter(F.col("_n") <= max_bucket_size)
             .select("bucket")
         )
-        bk = bk.join(ok, "bucket", "left_semi")
+        bk = bk.join(ok, "bucket", "left_semi").localCheckpoint(eager=False)
     l = bk.select(F.col("bucket"), F.col("vec_id").alias("vec_a"))
     r = bk.select(F.col("bucket"), F.col("vec_id").alias("vec_b"))
     return (
@@ -255,7 +260,9 @@ def knn_graph(
     single-reducer sort anywhere.  ``max_bucket_size`` skips
     over-occupied buckets (identical-embedding clusters); report the
     dropped set with ``oversized_srp_buckets`` — never silent."""
+    # pinned for the same two-consumer reason as ann_candidates (r6)
     bk = srp_buckets(embeddings, bits=bits, id_col=id_col, vec_col=vec_col)
+    bk = bk.localCheckpoint(eager=False)
     if max_bucket_size is not None:
         ok = (
             bk.groupBy("bucket")
@@ -263,7 +270,7 @@ def knn_graph(
             .filter(F.col("_n") <= max_bucket_size)
             .select("bucket")
         )
-        bk = bk.join(ok, "bucket", "left_semi")
+        bk = bk.join(ok, "bucket", "left_semi").localCheckpoint(eager=False)
     emb = embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     a = emb.join(bk, F.col("_id") == F.col("vec_id")).select(
         F.col("_id").alias("query_id"), F.col("_v").alias("_qv"), "bucket"

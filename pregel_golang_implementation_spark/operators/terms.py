@@ -54,7 +54,15 @@ def tfidf_top_terms(
     construction.  Nothing here is a global sort.
     """
     toks = _tokens(docs, text_col, id_col)
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH the score join and the document-frequency aggregate;
+    # exchange reuse does not fire across the two consumers (r6 plan
+    # audit: 0 ReusedExchange), so unpinned the corpus would be tokenized
+    # and aggregated twice — the lazy pin shares one execution
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.select(F.count(F.lit(1)).alias("n_docs"))
     scored = (
@@ -215,23 +223,59 @@ def bm25_topk(
     rounded to ``round_to`` before the (score DESC, doc_id ASC) cut —
     the repo's cross-engine determinism discipline.
 
-    Scale shape: the term filter prunes the exploded token stream to
-    the query's terms BEFORE any aggregation (scan-proportional, tiny
-    output); df and the (N, avgdl) scalars are driver-size; the final
+    Scale shape (r6: fused to ONE tokenize pass — the previous shape
+    tokenized the corpus three times, for avgdl, dl and tf): a single
+    per-doc aggregate computes dl AND one conditional-count column per
+    query term; the (N, avgdl) scalars, the per-term unpivot and the df
+    aggregate all read that pinned V-row frame.  The per-term columns
+    bound the width to |query| — fine for retrieval-sized queries; a
+    thousand-term query should pre-filter + group instead.  The final
     cut is a distributed TakeOrderedAndProject.
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
+    terms = list(dict.fromkeys(query_terms))
     tk = _tokens(docs, text_col, id_col)
-    dl = tk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    n_row = dl.agg(
+    per_doc = (
+        tk.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("dl"),
+            *[
+                F.sum((F.col("term") == F.lit(t)).cast("long")).alias(f"_tf{i}")
+                for i in range(len(terms))
+                for t in [terms[i]]
+            ],
+        )
+        .localCheckpoint(eager=False)  # one execution for scalars + scoring
+    )
+    n_row = per_doc.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
     ).first()
+    if not n_row["n"]:
+        # ADVICE r5: an untokenizable corpus used to die with
+        # ZeroDivisionError computing avgdl — fail with the real reason
+        raise ValueError(
+            "bm25_topk: corpus has no tokenizable documents (every text "
+            "splits to zero tokens) — nothing to rank"
+        )
     n_docs, avgdl = int(n_row["n"]), float(n_row["s"]) / int(n_row["n"])
     tf = (
-        tk.filter(F.col("term").isin(list(query_terms)))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        per_doc.select(
+            "doc_id",
+            "dl",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("term"), F.col(f"_tf{i}").alias("tf")
+                        )
+                        for i, t in enumerate(terms)
+                    ]
+                )
+            ).alias("kv"),
+        )
+        .select("doc_id", "dl", F.col("kv.term").alias("term"), F.col("kv.tf").alias("tf"))
+        .filter(F.col("tf") > 0)
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
@@ -241,7 +285,6 @@ def bm25_topk(
     )
     contrib = (
         tf.join(F.broadcast(df), "term")
-        .join(dl, "doc_id")
         .select(
             "doc_id",
             (
