@@ -37,7 +37,9 @@ def msbfs_distances(
     over the symmetric edge table — one row per reached (vertex, pivot)
     pair, dist = exact hop count (BFS layers, so the first arrival is
     the shortest)."""
-    e = und_edges.select("src", "dst")
+    # pinned: the edge projection is probed once per hop — without the
+    # pin each hop re-runs the upstream edge lineage (r6)
+    e = und_edges.select("src", "dst").localCheckpoint(eager=False)
     pv = F.array(*[F.lit(int(p)) for p in pivots])
     dist = (
         e.sparkSession.range(1)

@@ -131,14 +131,19 @@ def funnel(
     # spark.sql.session.timeZone=UTC (session.py:61), so the cast is a
     # micros-preserving relabel and unix_micros matches DuckDB epoch_us
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    base = events.select(F.col("user_id")).distinct()
+    # pinned: each funnel step scans the typed events and references the
+    # accumulated `out` twice (stage filter + left join), so the plan
+    # would double per step without the per-step pin (r6 — the repo's
+    # standard plan-doubling guard)
+    ev = events.select(
+        "user_id", F.col(type_col).alias("_ty"), us.alias("_t")
+    ).localCheckpoint(eager=False)
+    base = ev.select(F.col("user_id")).distinct()
     out = base
     prev_col = None
     for step in steps:
         col = f"t_{step}_us"
-        stage = events.filter(F.col(type_col) == step).select(
-            "user_id", us.alias("_t")
-        )
+        stage = ev.filter(F.col("_ty") == step).select("user_id", "_t")
         if prev_col is not None:
             stage = stage.join(
                 out.select("user_id", prev_col), "user_id"
@@ -148,7 +153,7 @@ def funnel(
         reached = stage.groupBy("user_id").agg(F.min("_t").alias(col))
         out = out.join(reached, "user_id", "left").withColumn(
             col, F.coalesce(F.col(col), F.lit(-1)).cast("long")
-        )
+        ).localCheckpoint(eager=False)
         prev_col = col
     depth = sum(
         (F.col(f"t_{s}_us") >= 0).cast("long") for s in steps

@@ -77,7 +77,9 @@ def square_count(
     documented lower bound over the capped graph).  One self-join keyed
     by the middle + one (a, b) aggregate + one scalar sum.
     """
-    e = und_edges.select("src", "dst")
+    # e feeds the degree aggregate + wedge build (and the count action);
+    # e_mid self-joins — pin both (no exchange reuse in this build, r6)
+    e = und_edges.select("src", "dst").localCheckpoint(eager=False)
     excluded = 0
     if max_middle_degree is not None:
         deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
@@ -91,9 +93,9 @@ def square_count(
             )
         e_mid = e.join(
             deg.filter(F.col("_d") <= max_middle_degree).select("src"), "src"
-        )
+        ).localCheckpoint(eager=False)
     else:
-        e_mid = e
+        e_mid = e  # already pinned above
     pairs = (
         e_mid.alias("l")
         .join(e_mid.alias("r"), F.col("l.src") == F.col("r.src"))

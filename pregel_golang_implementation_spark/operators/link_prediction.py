@@ -45,7 +45,11 @@ def adamic_adar_topk(
     smaller candidate id) and the returned score is the same rounded
     value — last-ulp drift can never flip the hash-compared rank.
     """
-    e = und_edges.select("src", "dst")
+    # e feeds the degree aggregate, the wedge build and the non-edge
+    # anti-join; e_mid self-joins; non_edges is mirrored twice — pin all
+    # three (no exchange reuse in this build, r6) and release e after the
+    # top-k result is materialized
+    e = und_edges.select("src", "dst").persist()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
     if max_middle_degree is not None:
         dropped = deg.filter(F.col("_d") > max_middle_degree).count()
@@ -65,6 +69,7 @@ def adamic_adar_topk(
     e_mid = (
         e.join(mid_deg.filter(F.col("_d") >= 2), "src")
         .withColumn("_w", F.lit(1.0) / F.log(F.col("_d").cast("double")))
+        .localCheckpoint(eager=False)
     )
     pairs = (
         e_mid.alias("l")
@@ -79,7 +84,7 @@ def adamic_adar_topk(
         e.select(F.col("src").alias("a"), F.col("dst").alias("b")),
         ["a", "b"],
         "left_anti",
-    )
+    ).localCheckpoint(eager=False)
     mirrored = non_edges.select(
         F.col("a").alias("id"), F.col("b").alias("candidate"), "score"
     ).unionByName(
@@ -88,13 +93,17 @@ def adamic_adar_topk(
         )
     )
     w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("candidate"))
-    return (
+    out = (
         mirrored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             "id", "candidate", "score", F.col("rank").cast("long").alias("rank")
         )
     )
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        e.unpersist()
 
 
 def common_neighbor_topk(
@@ -106,7 +115,8 @@ def common_neighbor_topk(
     non-adjacent vertices sharing the most (cap-eligible) neighbors;
     deterministic ties → smallest candidate id.  ``und_edges`` must be
     symmetric (both directions present)."""
-    e = und_edges.select("src", "dst")
+    # same pin discipline as adamic_adar_topk (r6)
+    e = und_edges.select("src", "dst").persist()
     if max_middle_degree is not None:
         deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
         dropped = deg.filter(F.col("_d") > max_middle_degree).count()
@@ -120,7 +130,7 @@ def common_neighbor_topk(
             )
         e_mid = e.join(
             deg.filter(F.col("_d") <= max_middle_degree).select("src"), "src"
-        )
+        ).localCheckpoint(eager=False)
     else:
         e_mid = e
     # wedges through each eligible middle m: (a — m — b), a < b
@@ -137,7 +147,7 @@ def common_neighbor_topk(
         e.select(F.col("src").alias("a"), F.col("dst").alias("b")),
         ["a", "b"],
         "left_anti",
-    )
+    ).localCheckpoint(eager=False)
     # per-vertex view: each surviving pair scores both endpoints
     mirrored = non_edges.select(
         F.col("a").alias("id"), F.col("b").alias("candidate"), "common"
@@ -147,10 +157,14 @@ def common_neighbor_topk(
         )
     )
     w = Window.partitionBy("id").orderBy(F.desc("common"), F.asc("candidate"))
-    return (
+    out = (
         mirrored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             "id", "candidate", "common", F.col("rank").cast("long").alias("rank")
         )
     )
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        e.unpersist()

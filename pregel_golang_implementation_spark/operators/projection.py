@@ -38,9 +38,12 @@ def cooccurrence_topk(
     co-members sharing the most (cap-eligible) containers; deterministic
     ties → smaller candidate id.  ``membership`` rows must be distinct
     (entity, container) pairs."""
+    # pinned: m feeds the size aggregate (+ its count action) and both
+    # self-join legs; counted is mirrored twice below (r6 — no exchange
+    # reuse fires in this build)
     m = membership.select(
         F.col(entity_col).alias("entity"), F.col(container_col).alias("container")
-    )
+    ).localCheckpoint(eager=False)
     if max_container_size is not None:
         sizes = m.groupBy("container").agg(F.count(F.lit(1)).alias("_n"))
         dropped = sizes.filter(F.col("_n") > max_container_size).count()
@@ -54,14 +57,16 @@ def cooccurrence_topk(
         m = m.join(
             sizes.filter(F.col("_n") <= max_container_size).select("container"),
             "container",
-        )
+        ).localCheckpoint(eager=False)
     pairs = (
         m.alias("l")
         .join(m.alias("r"), F.col("l.container") == F.col("r.container"))
         .filter(F.col("l.entity") < F.col("r.entity"))
         .select(F.col("l.entity").alias("a"), F.col("r.entity").alias("b"))
     )
-    counted = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_shared"))
+    counted = pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("n_shared")
+    ).localCheckpoint(eager=False)
     mirrored = counted.select(
         F.col("a").alias("id"), F.col("b").alias("candidate"), "n_shared"
     ).unionByName(

@@ -594,16 +594,22 @@ class PregelRunner:
                         msgs_sent = int(
                             msg_observations[j].get["_msgs_sent"] or 0
                         )
-                    except Py4JJavaError:
+                    except Py4JJavaError as exc:
                         # AQE empty-relation propagation: when the message
                         # frame is provably empty (e.g. the final frontier
                         # has no out-edges), the apply join's right subtree
                         # is folded away in the FINAL plan and its
                         # CollectMetrics never reaches observedMetrics —
-                        # getRow then hands back a schema-less row that
-                        # toPyRow rejects.  Pruning fires only for empty
-                        # subtrees, and combined is empty iff msgs is
-                        # empty, so the true count is exactly 0.
+                        # getRow then hands back a schema-less row whose
+                        # toPyRow conversion fails its arity assert.
+                        # Pruning fires only for empty subtrees, and
+                        # combined is empty iff msgs is empty, so the true
+                        # count is exactly 0.  ONLY that signature is
+                        # swallowed (ADVICE r5): any other metrics-
+                        # retrieval failure is a real error, not a real
+                        # zero-message superstep — re-raise it.
+                        if "toPyRow" not in str(exc):
+                            raise
                         msgs_sent = 0
                 else:
                     msgs_sent = int(row["_msgs"] or 0)

@@ -57,10 +57,21 @@ def _is_delta_conflict(exc: BaseException) -> bool:
     for klass in type(exc).__mro__:
         if klass.__name__ in _DELTA_CONFLICT_CLASSES:
             return True
-    # captured JVM exceptions (Py4J / pyspark connect) keep the Java class
-    # in the message head, e.g. "io.delta.exceptions.ConcurrentAppendException: ..."
-    head = str(exc).split(":", 1)[0]
-    return head.rsplit(".", 1)[-1].strip() in _DELTA_CONFLICT_CLASSES
+    # captured JVM exceptions name the Java class somewhere in the text —
+    # at the head for CapturedException ("io.delta.exceptions.Concurrent
+    # AppendException: ...") but mid-string for a raw Py4JJavaError ("An
+    # error occurred while calling o123.save.\n: io.delta...").  Scan the
+    # whole message for the qualified conflict classes (ADVICE r5) —
+    # substring match on the delta-qualified name, so an unrelated error
+    # that merely MENTIONS 'ConcurrentAppendException' in prose would
+    # still need the io.delta/delta.exceptions prefix to count.
+    text = str(exc)
+    head = text.split(":", 1)[0]
+    if head.rsplit(".", 1)[-1].strip() in _DELTA_CONFLICT_CLASSES:
+        return True
+    return any(
+        f"delta.exceptions.{name}" in text for name in _DELTA_CONFLICT_CLASSES
+    )
 
 
 def edge_stream_ingest(
@@ -401,22 +412,33 @@ def streaming_sessionize(
             )
             return
         cur = list(state.get) if state.exists else None
-        closed = []
         rows = pd.concat(list(pdf_iter), ignore_index=True)
         if len(rows) == 0 and cur is None:
             return
-        for ep, val in (
-            rows[["_ep", "value"]].sort_values("_ep").itertuples(index=False)
-        ):
-            ep = int(ep)
-            if cur is None:
-                cur = [ep, ep, 0, 0.0]
-            elif ep - cur[1] > gap:
-                closed.append(tuple(cur))
-                cur = [ep, ep, 0, 0.0]
-            cur[1] = max(cur[1], ep)
-            cur[2] += 1
-            cur[3] += float(val)
+        # Interval sweep over the sorted union of the open-session summary
+        # and this batch's events (ADVICE r5): a within-watermark event
+        # EARLIER than the open session's start either extends the session
+        # backwards (start = min) or — when it precedes it by more than the
+        # gap — forms its own earlier session, exactly what the batch twin
+        # (events.sessionize) would emit.  The old fold compared gaps only
+        # against the session END and never lowered start_ts.
+        atoms = [tuple(cur)] if cur is not None else []
+        atoms += [
+            (int(ep), int(ep), 1, float(val))
+            for ep, val in rows[["_ep", "value"]].itertuples(index=False)
+        ]
+        atoms.sort(key=lambda a: (a[0], a[1]))
+        merged: list[list] = []
+        for s, e, n, v in atoms:
+            if merged and s - merged[-1][1] <= gap:
+                m = merged[-1]
+                m[1] = max(m[1], e)
+                m[2] += n
+                m[3] += v
+            else:
+                merged.append([s, e, n, v])
+        closed = [tuple(m) for m in merged[:-1]]
+        cur = merged[-1]
         state.update(tuple(cur))
         # close the open session when event time goes quiet past the gap
         state.setTimeoutTimestamp((cur[1] + gap) * 1000)
