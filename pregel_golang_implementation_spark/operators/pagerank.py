@@ -183,6 +183,12 @@ def _build_pagerank_graph(
     persisted frames for the caller to unpersist after the runner has
     materialized its own edge cache and init state."""
     caches: list[DataFrame] = []
+    # ONE exchange for the whole prep chain (guide §2.4 "two operations
+    # keyed the same way can share one exchange"): hash(src) satisfies
+    # the (src, dst) clustering the dedup/collapse aggregate needs, the
+    # src-keyed outdeg aggregate, AND the pr_edges join — so after this
+    # repartition none of them shuffles again.  Values are unchanged
+    # (same aggregates, same keys).
     if weighted:
         e = (
             edges.select(
@@ -190,6 +196,7 @@ def _build_pagerank_graph(
                 F.col("dst").cast("long"),
                 F.col("weight").cast("double").alias("_w"),
             )
+            .repartition("src")
             .groupBy("src", "dst")
             .agg(F.sum("_w").alias("_w"))
         )
@@ -202,9 +209,11 @@ def _build_pagerank_graph(
             "src", "dst", (F.col("_w") / F.col("_wsum")).alias("weight")
         )
     else:
-        e = edges.select(
-            F.col("src").cast("long"), F.col("dst").cast("long")
-        ).dropDuplicates(["src", "dst"])
+        e = (
+            edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+            .repartition("src")
+            .dropDuplicates(["src", "dst"])
+        )
         if cache:
             e = e.persist()
             caches.append(e)
