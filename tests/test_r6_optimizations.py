@@ -67,6 +67,44 @@ def test_minhash_bands_rejects_uneven_bands(spark):
         minhash_bands(docs, num_hashes=16, rows_per_band=5)
 
 
+def test_adaptive_partitioning_resolves_and_matches_explicit(spark):
+    """r6: with num_partitions=None the runner sizes the layout from the
+    edge count — min(conf, max(8, ceil(E / 75k))) — and the result is
+    value-identical to an explicit-partitions run (all combiners are
+    partition-order-insensitive or rounded downstream)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pregel_golang_implementation_spark.operators.connected_components import (
+        cc_spec,
+        symmetrize,
+    )
+    from pregel_golang_implementation_spark.plans.runner import PregelRunner
+    from pregel_golang_implementation_spark.sources.graphs import synthetic_edges
+
+    edges = symmetrize(
+        synthetic_edges(spark, num_vertices=3000, avg_degree=4, seed=11),
+        dedup=False,
+    ).persist()
+    n_edges = edges.count()
+    conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    expect = min(
+        conf,
+        max(PregelRunner.MIN_PARTITIONS, math.ceil(n_edges / PregelRunner.EDGES_PER_PARTITION)),
+    )
+    adaptive = PregelRunner(spark, cc_spec())
+    res_a = adaptive.run(edges)
+    assert adaptive.num_partitions == expect
+    explicit = PregelRunner(spark, cc_spec(), num_partitions=conf)
+    res_e = explicit.run(edges)
+    a = sorted(tuple(r) for r in res_a.state.select("id", "value").collect())
+    e = sorted(tuple(r) for r in res_e.state.select("id", "value").collect())
+    edges.unpersist()
+    assert a == e
+    assert res_a.supersteps == res_e.supersteps
+
+
 def test_streaming_sessionize_out_of_order_cross_batch(spark, tmp_path):
     """ADVICE r5: a within-watermark event EARLIER than the open
     session's start must either extend the session backwards (start =
