@@ -263,6 +263,15 @@ class PregelRunner:
             e, _hubs = salt_hubs(
                 e, degree_threshold=self.salt_degree_threshold, num_salts=self.num_salts
             )
+        # The layout is sorted within partitions so the cached edge order
+        # is a function of the DATA, not of shuffle-fetch interleaving:
+        # every float message-sum downstream accumulates in edge order, so
+        # this is what makes two runs of the same graph (slim vs classic
+        # combine, chained vs unchained, resume vs cold) bit-identical
+        # regardless of how the CALLER's prep plan happened to order rows.
+        # One per-partition sort, once per run, amortized over every
+        # superstep; the per-step joins are hash-based and don't need it.
+        order = e.columns  # total order over every column ⇒ ties can't reorder
         if self.num_partitions is None:
             # size the layout to the data (scale-adaptive note in
             # __init__) WITHOUT running the edge lineage twice: cache the
@@ -275,11 +284,19 @@ class PregelRunner:
                 self._conf_partitions,
                 max(self.MIN_PARTITIONS, math.ceil(n_edges / self.EDGES_PER_PARTITION)),
             )
-            e = e0.repartition(self.num_partitions, "src").persist()
+            e = (
+                e0.repartition(self.num_partitions, "src")
+                .sortWithinPartitions(*order)
+                .persist()
+            )
             e.count()
             e0.unpersist()
         else:
-            e = e.repartition(self.num_partitions, "src").persist()
+            e = (
+                e.repartition(self.num_partitions, "src")
+                .sortWithinPartitions(*order)
+                .persist()
+            )
             e.count()  # materialize once; every superstep reuses this layout
         self._edges_cached = e  # tracked so run() can unpersist (no leak)
         return e

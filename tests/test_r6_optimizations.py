@@ -175,3 +175,39 @@ def test_streaming_sessionize_out_of_order_cross_batch(spark, tmp_path):
         ).collect()
     ]
     assert (1, ep("2026-01-01 00:50:00"), ep("2026-01-01 01:00:00"), 2, 10.0) in got
+
+
+def test_edge_layout_order_is_deterministic(spark):
+    """r6 fix: the runner's cached edge layout is sorted within
+    partitions, so its row order is a function of the data alone — not of
+    shuffle-fetch interleaving in the CALLER's prep plan.  Two
+    independent prepares of the same lineage must agree partition by
+    partition, row by row; this is what keeps every float message-sum
+    downstream (slim vs classic combine, chained vs unchained, resume vs
+    cold) bit-identical across runs."""
+    from pyspark.sql import functions as F
+
+    from pregel_golang_implementation_spark.operators.pagerank import (
+        pagerank_spec,
+        prepare_pagerank_graph,
+    )
+    from pregel_golang_implementation_spark.plans.runner import PregelRunner
+    from pregel_golang_implementation_spark.sources.graphs import synthetic_edges
+
+    edges = synthetic_edges(spark, num_vertices=300, avg_degree=4, seed=7)
+    pr_edges, vertices = prepare_pagerank_graph(edges)
+    n = vertices.count()
+
+    def layout():
+        runner = PregelRunner(spark, pagerank_spec(n))
+        e = runner._prepare_edges(pr_edges)
+        rows = [
+            tuple(r)
+            for r in e.withColumn("p", F.spark_partition_id())
+            .select("p", "src", "dst", "weight")
+            .collect()
+        ]
+        e.unpersist()
+        return rows
+
+    assert layout() == layout()  # exact order, not just multiset
