@@ -52,6 +52,10 @@ def main() -> None:
     runner = PregelRunner(spark, pagerank_spec(n))
     e = runner._prepare_edges(pr_edges)
     state = runner._init_state(vertices)
+    state.count()  # materialize the cache exactly as the runner's first
+    # action does — an unmaterialized cache makes AQE's initial plan
+    # insert a defensive Exchange on the state side that execution
+    # never runs
     step = runner._one_superstep(state, e, {"dangling_mass": 0.0}, -1)
     sections.append(("one PageRank superstep (scatter ⋈ + combine agg + apply ⋈)", grab(step)))
 
@@ -62,7 +66,12 @@ def main() -> None:
         cc_spec,
     )
 
-    cc_runner = PregelRunner(spark, cc_spec(), steps_per_action=2)
+    # num_partitions is resolved adaptively at _prepare_edges time (r6);
+    # this runner borrows the pagerank runner's prepared layout `e`, so
+    # adopt that resolved count explicitly instead of preparing twice
+    cc_runner = PregelRunner(
+        spark, cc_spec(), steps_per_action=2, num_partitions=runner.num_partitions
+    )
     cc_state = cc_runner._init_state(runner.vertices_from_edges(e))
     s1 = cc_runner._one_superstep(cc_state, e, {}, -1).select("id", "value", "active")
     s2 = cc_runner._one_superstep(s1, e, {}, -1).select("id", "value", "active")
